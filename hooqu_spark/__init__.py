@@ -1,0 +1,36 @@
+"""hooqu-spark: a PySpark-native data-quality verification engine.
+
+From-scratch rebuild of the capabilities of mfcabrera/hooqu ("unit
+tests for data", a pandas port of AWS Deequ / the VLDB'18 paper
+"Automating large-scale data quality verification") as distributed
+Spark DataFrame aggregations with mergeable (monoid) metric states,
+plus a web-text quality-filter pipeline (language ID, perplexity,
+Gopher/C4 heuristics, regex PII scrub) gated and instrumented by
+those metrics.
+"""
+
+__version__ = "0.1.0"
+
+from .checks import Check, CheckLevel, CheckResult, CheckStatus, is_one
+from .metrics import DoubleMetric, Entity, Failure, Metric, Success
+from .verification_suite import (
+    VerificationResult,
+    VerificationRunBuilder,
+    VerificationSuite,
+)
+
+__all__ = [
+    "Check",
+    "CheckLevel",
+    "CheckResult",
+    "CheckStatus",
+    "DoubleMetric",
+    "Entity",
+    "Failure",
+    "Metric",
+    "Success",
+    "VerificationResult",
+    "VerificationRunBuilder",
+    "VerificationSuite",
+    "is_one",
+]

@@ -1,0 +1,472 @@
+"""Scan-shareable analyzers: each contributes Catalyst aggregate
+expressions fused by the runner into a single ``df.agg`` job.
+
+Semantics mirror the reference analyzers (cited per class); execution
+is Spark-native: JVM-side aggregates with conditional ``F.when`` gating
+for ``where`` filters, NaN->NULL normalization for pandas parity, and a
+vectorized Arrow UDF only where Python-regex parity demands it.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Optional, Pattern, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..expr import translate
+from ..metrics import DoubleMetric, Entity
+from ..states import (
+    MaxState,
+    MeanState,
+    MinState,
+    NumMatches,
+    NumMatchesAndCount,
+    QuantileState,
+    StandardDeviationState,
+    State,
+    SumState,
+)
+from .base import (
+    Analyzer,
+    ScanShareableAnalyzer,
+    count_rows,
+    gated,
+    has_column,
+    is_numeric,
+    is_string,
+    nan_safe_col,
+    where_cond,
+)
+
+
+def _f(value, default: float = float("nan")) -> float:
+    """Row value -> float with a default for NULL."""
+    return default if value is None else float(value)
+
+
+def _exact_rank_fraction(k: int, d: int) -> float:
+    """Fraction q such that q*d == k exactly in IEEE754 doubles.
+
+    Spark's exact ``percentile`` computes ``position = q * (count-1)``
+    and linearly interpolates; an exactly-integral position degenerates
+    to exact element selection.  ``k/d`` alone can round such that
+    ``(k/d)*d`` lands a few ulps off ``k``, so nudge q until the
+    product (same arithmetic on the JVM) is exactly k.
+    """
+    import math as _math
+
+    q = k / d
+    for _ in range(8):
+        p = q * d
+        if p == k:
+            break
+        q = _math.nextafter(q, 1.0 if p < k else 0.0)
+    return q
+
+
+class Size(ScanShareableAnalyzer):
+    """Row count (DATASET entity).  Parity quirk preserved: the
+    reference accepts ``where`` but ignores it (``size.py:24-30``)."""
+
+    def __init__(self, where: Optional[str] = None):
+        super().__init__("Size", "*", Entity.DATASET, where)
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        return [F.count(F.lit(1))]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return NumMatches(int(values[0] or 0))
+
+
+class Completeness(ScanShareableAnalyzer):
+    """Fraction of non-null (pandas: non-NaN) values in a column.
+    Reference: ``hooqu/analyzers/completeness.py``."""
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("Completeness", column, Entity.COLUMN, where)
+
+    def preconditions(self):
+        return [has_column(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        col = nan_safe_col(df, self.instance)
+        return [F.count(gated(col, cond)), count_rows(cond)]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return NumMatchesAndCount(int(values[0] or 0), int(values[1] or 0))
+
+
+class _NumericAggAnalyzer(ScanShareableAnalyzer):
+    """Shared shape for Minimum/Maximum/Sum."""
+
+    _agg: Callable[[Column], Column]
+
+    def __init__(self, name: str, column: str, where: Optional[str] = None):
+        super().__init__(name, column, Entity.COLUMN, where)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_numeric(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        return [type(self)._agg(gated(nan_safe_col(df, self.instance), cond))]
+
+
+class Minimum(_NumericAggAnalyzer):
+    """Reference: ``hooqu/analyzers/minimum.py`` (NaN-skipping min)."""
+
+    _agg = staticmethod(F.min)
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("Minimum", column, where)
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return MinState(_f(values[0]))
+
+
+class Maximum(_NumericAggAnalyzer):
+    """Reference: ``hooqu/analyzers/maximum.py``."""
+
+    _agg = staticmethod(F.max)
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("Maximum", column, where)
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return MaxState(_f(values[0]))
+
+
+class Sum(_NumericAggAnalyzer):
+    """Reference: ``hooqu/analyzers/sum.py`` (pandas sum: empty/all-NaN
+    sums to 0.0, hence the NULL->0 default)."""
+
+    _agg = staticmethod(F.sum)
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("Sum", column, where)
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return SumState(_f(values[0], default=0.0))
+
+
+class Mean(ScanShareableAnalyzer):
+    """Kept as mergeable (total, count) — never ``F.avg`` directly —
+    so partition states merge (``hooqu/analyzers/mean.py:10-22``)."""
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("Mean", column, Entity.COLUMN, where)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_numeric(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        col = gated(nan_safe_col(df, self.instance), cond)
+        return [F.sum(col), F.count(col)]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return MeanState(_f(values[0], default=0.0), int(values[1] or 0))
+
+
+class StandardDeviation(ScanShareableAnalyzer):
+    """Population stddev (ddof=0), NaN-skipping.  The Spark job returns
+    the Welford triple ``(n, avg, m2)`` — the same sufficient statistic
+    as Spark's CentralMomentAgg and the reference's ``pop_variance``
+    kernel (``hooqu/dataframe.py:68-101``) — so partition states merge
+    via Chan's update (``StandardDeviationState.sum``)."""
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("StandardDeviation", column, Entity.COLUMN, where)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_numeric(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        col = gated(nan_safe_col(df, self.instance), cond)
+        return [F.count(col), F.avg(col), F.var_pop(col)]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        n = int(values[0] or 0)
+        # n == 0 raises ValueError in the state constructor -> Failure
+        # metric, matching ``standard_deviation.py:37-39``.
+        avg = _f(values[1])
+        var = _f(values[2])
+        return StandardDeviationState(n, avg, var * n)
+
+
+class Quantile(ScanShareableAnalyzer):
+    """Exact quantile with pandas ``interpolation='nearest'`` semantics
+    (returns an actual data value; reference ``hooqu/analyzers/quantile.py``).
+
+    Distributed strategy: two phases sharing the fused scan.  Phase 1
+    contributes ``count(col)`` to the shared ``df.agg``; phase 2 issues
+    ``percentile(col, k/(n-1))`` where ``k = banker's-round(q*(n-1))``
+    — an integral rank, so Spark's linear interpolation degenerates to
+    exact element selection.  Spark's exact ``percentile`` buffers
+    values per group; for 100TB-scale use ``ApproxQuantile`` instead.
+    """
+
+    def __init__(self, column: str, quantile: float, where: Optional[str] = None):
+        super().__init__("Quantile", column, Entity.COLUMN, where)
+        self.quantile = quantile
+
+    def _identity(self):
+        return super()._identity() + (self.quantile,)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_numeric(self.instance)]
+
+    def _validate(self) -> None:
+        if not (0 <= self.quantile <= 1):
+            # same message pandas raises inside the reference kernel
+            raise ValueError(
+                "percentiles should all be in the interval [0, 1]"
+            )
+
+    # -- two-phase protocol (used by the runner) ----------------------------
+    def phase1_exprs(self, df: DataFrame) -> List[Column]:
+        self._validate()
+        cond = where_cond(self.where)
+        return [F.count(gated(nan_safe_col(df, self.instance), cond))]
+
+    def phase2_exprs(self, df: DataFrame, n: int) -> List[Column]:
+        cond = where_cond(self.where)
+        col = gated(nan_safe_col(df, self.instance), cond)
+        if n <= 1:
+            q_adj = 0.0
+        else:
+            k = round(self.quantile * (n - 1))  # banker's rounding = pandas 'nearest'
+            q_adj = _exact_rank_fraction(k, n - 1)
+        return [F.percentile(col.cast("double"), F.lit(q_adj))]
+
+    def state_from_phases(self, n: int, value) -> Optional[State]:
+        if n == 0:
+            return QuantileState(float("nan"))
+        return QuantileState(_f(value))
+
+    # -- standalone path -----------------------------------------------------
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        return self.phase1_exprs(df)
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        raise NotImplementedError("Quantile uses the two-phase protocol")
+
+    def compute_state_from(self, data: DataFrame) -> Optional[State]:
+        self._validate()
+        n = int(
+            data.agg(self.phase1_exprs(data)[0].alias("_n")).first()[0] or 0
+        )
+        if n == 0:
+            return QuantileState(float("nan"))
+        value = data.agg(
+            self.phase2_exprs(data, n)[0].alias("_q")
+        ).first()[0]
+        return self.state_from_phases(n, value)
+
+    def __repr__(self):
+        return super().__repr__()[:-1] + f", quantile={self.quantile})"
+
+
+class ApproxQuantile(ScanShareableAnalyzer):
+    """Scale-path quantile: ``percentile_approx`` (GK sketch, mergeable
+    partial aggregation, bounded memory).  Extension beyond the
+    reference — the sketch the north rule's lineage states call for."""
+
+    def __init__(
+        self,
+        column: str,
+        quantile: float,
+        accuracy: int = 10000,
+        where: Optional[str] = None,
+    ):
+        super().__init__("ApproxQuantile", column, Entity.COLUMN, where)
+        self.quantile = quantile
+        self.accuracy = accuracy
+
+    def _identity(self):
+        return super()._identity() + (self.quantile, self.accuracy)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_numeric(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        col = gated(nan_safe_col(df, self.instance), cond)
+        return [
+            F.percentile_approx(
+                col.cast("double"), F.lit(self.quantile), F.lit(self.accuracy)
+            )
+        ]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return QuantileState(_f(values[0]))
+
+
+class ApproxCountDistinct(ScanShareableAnalyzer):
+    """HLL-based distinct count (``approx_count_distinct``); mergeable
+    by construction inside Spark's partial aggregation.  Extension
+    beyond the reference (Deequ has the same analyzer)."""
+
+    def __init__(self, column: str, rsd: float = 0.05, where: Optional[str] = None):
+        super().__init__("ApproxCountDistinct", column, Entity.COLUMN, where)
+        self.rsd = rsd
+
+    def _identity(self):
+        return super()._identity() + (self.rsd,)
+
+    def preconditions(self):
+        return [has_column(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        return [
+            F.approx_count_distinct(gated(F.col(self.instance), cond), rsd=self.rsd)
+        ]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return NumMatches(int(values[0] or 0))
+
+
+class MinLength(ScanShareableAnalyzer):
+    """Min string length (Deequ-style extension)."""
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("MinLength", column, Entity.COLUMN, where)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_string(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        return [F.min(gated(F.length(F.col(self.instance)), cond))]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return MinState(_f(values[0]))
+
+
+class MaxLength(ScanShareableAnalyzer):
+    """Max string length (Deequ-style extension)."""
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("MaxLength", column, Entity.COLUMN, where)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_string(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        return [F.max(gated(F.length(F.col(self.instance)), cond))]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return MaxState(_f(values[0]))
+
+
+class Compliance(ScanShareableAnalyzer):
+    """Fraction of rows satisfying a predicate; NULL/NaN predicate
+    results count in the denominator only — identical to the pandas
+    ``eval``+``sum`` kernel (``hooqu/analyzers/compliance.py:33-40``).
+    Executed as a conditional aggregate, fully JVM-side."""
+
+    def __init__(self, instance: str, predicate: str, where: Optional[str] = None):
+        super().__init__("Compliance", instance, Entity.COLUMN, where)
+        self.predicate = predicate
+
+    def _identity(self):
+        return super()._identity() + (self.predicate,)
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        pred = F.expr(translate(self.predicate))
+        match = pred if cond is None else (cond & pred)
+        exprs = [
+            F.coalesce(
+                F.sum(F.when(match, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ),
+            count_rows(cond),
+        ]
+        # Force analysis now so an unresolvable predicate becomes a
+        # per-analyzer Failure instead of poisoning the fused job.
+        df.select(F.when(match, F.lit(1)))
+        return exprs
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return NumMatchesAndCount(int(values[0] or 0), int(values[1] or 0))
+
+
+def _python_regex_matcher(pattern: Union[str, Pattern]):
+    pat = pattern if isinstance(pattern, re.Pattern) else re.compile(pattern)
+
+    @pandas_udf("boolean")
+    def regex_match(s: pd.Series) -> pd.Series:
+        # identical kernel to the reference's ``Series.str.contains``
+        # (``hooqu/dataframe.py:57-65``): re.search substring semantics
+        return s.str.contains(pat).astype("boolean")
+
+    return regex_match
+
+
+class PatternMatch(ScanShareableAnalyzer):
+    """Fraction of values matching a regex.  Two execution paths:
+
+    * ``dialect='python'`` (default): vectorized Arrow ``pandas_udf``
+      running CPython ``re.search`` — byte-identical semantics to the
+      reference (PII patterns use constructs whose behavior differs
+      between Python and Java regex dialects).
+    * ``dialect='java'``: ``rlike`` — JVM-side, whole-stage codegen;
+      use when the pattern is known Java-compatible and throughput
+      matters (the 100TB path).
+
+    Reference: ``hooqu/analyzers/pattern_match.py``.
+    """
+
+    def __init__(
+        self,
+        column: str,
+        pattern: Union[str, Pattern],
+        where: Optional[str] = None,
+        dialect: str = "python",
+    ):
+        super().__init__("PatternMatch", column, Entity.COLUMN, where)
+        self.pattern = pattern
+        self.dialect = dialect
+
+    @property
+    def _pattern_str(self) -> str:
+        return (
+            self.pattern.pattern
+            if isinstance(self.pattern, re.Pattern)
+            else self.pattern
+        )
+
+    def _identity(self):
+        # Reference bug fixed: PatternMatch defined no identity
+        # extension, so two patterns on one column collided in the
+        # dedup dict (``pattern_match.py`` has no __eq__/__hash__).
+        return super()._identity() + (self._pattern_str, self.dialect)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_string(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        if self.dialect == "java":
+            match_col = F.col(self.instance).rlike(self._pattern_str)
+        else:
+            match_col = _python_regex_matcher(self.pattern)(F.col(self.instance))
+        match = match_col if cond is None else (cond & match_col)
+        return [
+            F.coalesce(
+                F.sum(F.when(match, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ),
+            count_rows(cond),
+        ]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return NumMatchesAndCount(int(values[0] or 0), int(values[1] or 0))

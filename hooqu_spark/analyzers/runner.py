@@ -1,0 +1,208 @@
+"""Analysis runner: compiles an analyzer set into a minimal number of
+Spark jobs.
+
+Where the reference runs analyzers sequentially, one pandas ``agg``
+each (``hooqu/analyzers/runners/analysis_runner.py:150-170``), this
+runner re-enables the scan-sharing design the reference left dormant
+(``analysis_runner.py:173-230``) — on Spark it is the whole point:
+
+* job 1 — ONE ``df.agg(e1..eN)`` computing every scan-shareable
+  analyzer (Size/Completeness/Min/Max/Sum/Mean/StdDev/Compliance/
+  PatternMatch/ApproxQuantile/...) plus the phase-1 counts of exact
+  Quantile analyzers.  Catalyst executes it as partial+final hash
+  aggregation with whole-stage codegen; differently-``where``'d
+  analyzers coexist via conditional aggregates.
+* job 2 — (only if exact Quantiles present) one ``df.agg`` of
+  ``percentile`` expressions at nearest-rank-adjusted fractions.
+* one groupBy job per distinct (grouping_columns, where) pair, shared
+  by all frequency-based analyzers on that pair.
+
+Precondition failures and unresolvable expressions become per-analyzer
+``Failure`` metrics without poisoning the fused job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..metrics import DoubleMetric, Entity, Metric
+from .analyzers import Quantile
+from .base import Analyzer, ScanShareableAnalyzer, find_first_failing
+from .grouping import FrequencyBasedAnalyzer
+
+
+@dataclass
+class AnalyzerContext:
+    metric_map: Dict[Analyzer, Metric] = field(default_factory=dict)
+
+    def all_metrics(self) -> List[Metric]:
+        return list(self.metric_map.values())
+
+    def __add__(self, other: "AnalyzerContext") -> "AnalyzerContext":
+        return AnalyzerContext({**self.metric_map, **other.metric_map})
+
+    def metric(self, analyzer: Analyzer) -> Optional[Metric]:
+        return self.metric_map.get(analyzer, None)
+
+    @staticmethod
+    def success_metrics_as_dataframe(
+        analyzer_context: "AnalyzerContext",
+        for_analyzers: Sequence[Analyzer] = (),
+    ) -> pd.DataFrame:
+        mm = analyzer_context.metric_map
+
+        def relevant(analyzer: Analyzer, metric: Metric) -> bool:
+            return (
+                not for_analyzers or analyzer in for_analyzers
+            ) and metric.value.isSuccess
+
+        rows = [
+            (
+                str(metric.entity).split(".")[-1],
+                metric.instance,
+                metric.name,
+                float(metric.value.get()),
+            )
+            for analyzer, metric in mm.items()
+            if relevant(analyzer, metric)
+        ]
+        return pd.DataFrame(
+            rows, columns=("entity", "instance", "name", "value")
+        )
+
+
+def do_analysis_run(
+    data: DataFrame, analyzers: Sequence[Analyzer]
+) -> AnalyzerContext:
+    """Compute metrics for all analyzers with minimal Spark jobs."""
+    if not analyzers:
+        return AnalyzerContext({})
+
+    # Deduplicate (order-preserving; identity includes name, columns,
+    # where, and per-type extras — fixing the reference's __eq__ bugs).
+    unique: Dict[Analyzer, None] = {}
+    for a in analyzers:
+        unique.setdefault(a, None)
+    todo = list(unique)
+
+    metrics: Dict[Analyzer, Metric] = {}
+
+    # 1. Preconditions (schema-only, no jobs).
+    schema = data.schema
+    passed: List[Analyzer] = []
+    for a in todo:
+        err = find_first_failing(schema, a.preconditions())
+        if err is not None:
+            metrics[a] = a.to_failure_metric(err)
+        else:
+            passed.append(a)
+
+    scan: List[ScanShareableAnalyzer] = []
+    quantiles: List[Quantile] = []
+    grouping: List[FrequencyBasedAnalyzer] = []
+    others: List[Analyzer] = []
+    for a in passed:
+        if isinstance(a, Quantile):
+            quantiles.append(a)
+        elif isinstance(a, ScanShareableAnalyzer):
+            scan.append(a)
+        elif isinstance(a, FrequencyBasedAnalyzer):
+            grouping.append(a)
+        else:
+            others.append(a)
+
+    # 2. Fused single-scan aggregation.
+    fused: List[Tuple[Analyzer, int, int]] = []  # (analyzer, start, end)
+    exprs = []
+    for a in scan:
+        try:
+            ae = a.aggregation_exprs(data)
+        except Exception as e:  # unresolvable expression -> Failure
+            metrics[a] = a.to_failure_metric(e)
+            continue
+        fused.append((a, len(exprs), len(exprs) + len(ae)))
+        exprs.extend(ae)
+    q_offsets: List[Tuple[Quantile, int]] = []
+    for q in quantiles:
+        try:
+            qe = q.phase1_exprs(data)
+        except Exception as e:
+            metrics[q] = q.to_failure_metric(e)
+            continue
+        q_offsets.append((q, len(exprs)))
+        exprs.extend(qe)
+
+    if exprs:
+        row = list(
+            data.agg(
+                *(e.alias(f"_h{i}") for i, e in enumerate(exprs))
+            ).first()
+        )
+        for a, start, end in fused:
+            try:
+                state = a.state_from_agg(row[start:end])
+                metrics[a] = a.compute_metric_from(state)
+            except Exception as e:  # noqa: BLE001
+                metrics[a] = a.to_failure_metric(e)
+
+        # 3. Exact quantiles: phase 2 (one more fused job).
+        live_q: List[Tuple[Quantile, int, int]] = []
+        q_exprs = []
+        for q, off in q_offsets:
+            n = int(row[off] or 0)
+            if n == 0:
+                try:
+                    metrics[q] = q.compute_metric_from(q.state_from_phases(0, None))
+                except Exception as e:  # noqa: BLE001
+                    metrics[q] = q.to_failure_metric(e)
+                continue
+            qe = q.phase2_exprs(data, n)
+            live_q.append((q, n, len(q_exprs)))
+            q_exprs.extend(qe)
+        if q_exprs:
+            q_row = list(
+                data.agg(
+                    *(e.alias(f"_q{i}") for i, e in enumerate(q_exprs))
+                ).first()
+            )
+            for q, n, off in live_q:
+                try:
+                    state = q.state_from_phases(n, q_row[off])
+                    metrics[q] = q.compute_metric_from(state)
+                except Exception as e:  # noqa: BLE001
+                    metrics[q] = q.to_failure_metric(e)
+
+    # 4. Grouping analyzers: one groupBy job per (columns, where) pair,
+    #    shared across all frequency-based analyzers on that pair.
+    by_group: Dict[Tuple[Tuple[str, ...], Optional[str]], List[FrequencyBasedAnalyzer]] = {}
+    for g in grouping:
+        by_group.setdefault(
+            (tuple(g.grouping_columns), g.where), []
+        ).append(g)
+    for (cols, where), group_analyzers in by_group.items():
+        try:
+            state = FrequencyBasedAnalyzer.compute_frequencies(
+                data, list(cols), where
+            )
+            stats = FrequencyBasedAnalyzer.frequency_stats(state.frequencies)
+        except Exception as e:  # noqa: BLE001
+            for g in group_analyzers:
+                metrics[g] = g.to_failure_metric(e)
+            continue
+        for g in group_analyzers:
+            try:
+                metrics[g] = g.metric_from_stats(*stats)
+            except Exception as e:  # noqa: BLE001
+                metrics[g] = g.to_failure_metric(e)
+
+    # 5. Anything else: standalone calculate.
+    for a in others:
+        metrics[a] = a.calculate(data)
+
+    # Preserve input analyzer order in the context.
+    ordered = {a: metrics[a] for a in todo if a in metrics}
+    return AnalyzerContext(ordered)
