@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship verification flow on sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (hooqu analyzer surface) plus the training-data pipeline
+ops (dedup / similarity / text analysis) with DuckDB oracle SQL.
+
+Column-name and value conventions: every aggregate is aliased
+identically on both sides; doubles whose bit-exactness depends on
+summation order are rounded to 6 (or 4) decimals on BOTH sides.
 """
 
 from __future__ import annotations
@@ -12,27 +15,368 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (sf0.001 smoke)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Run the flagship VerificationSuite on sf0.001 and return the
+    computed metrics as a DataFrame (entity, instance, name, value)."""
+    from hooqu_spark import Check, CheckLevel, VerificationSuite
+    from hooqu_spark.analyzers.runner import AnalyzerContext
+
+    sf_dir = "/root/testdata/sf0.001"
+    lineitem = _t(spark, sf_dir, "lineitem")
+    result = (
+        VerificationSuite()
+        .on_data(lineitem)
+        .add_check(
+            Check(CheckLevel.ERROR, "lineitem integrity")
+            .has_size(lambda n: n > 0)
+            .is_complete("l_orderkey")
+            .is_non_negative("l_quantity")
+            .has_min("l_discount", lambda v: v >= 0)
+            .has_max("l_tax", lambda v: v <= 1)
+            .is_contained_in("l_returnflag", ("A", "N", "R"))
+            .has_quantile("l_quantity", 0.5, lambda v: 0 < v < 100)
+            .has_uniqueness(["l_orderkey", "l_linenumber"], lambda v: v == 1.0)
+        )
+        .run()
+    )
+    ctx = AnalyzerContext(result.metrics)
+    pdf = AnalyzerContext.success_metrics_as_dataframe(ctx)
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _scalar(value_col, alias: str):
+    def q(df: DataFrame) -> DataFrame:
+        return df.agg(value_col.alias(alias))
+
+    return q
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    # Each callable mirrors an analyzer/operator; heavy lifting is the
+    # same engine code paths the library uses.
+    from hooqu_spark.analyzers import (
+        Completeness,
+        Compliance,
+        Maximum,
+        MaxLength,
+        Mean,
+        Minimum,
+        MinLength,
+        PatternMatch,
+        Quantile,
+        Size,
+        StandardDeviation,
+        Sum,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def metric_query(table: str, analyzer_factory, alias: str, round_to=None):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            df = _t(spark, sf_dir, table)
+            value = analyzer_factory().calculate(df).value.get()
+            if round_to is not None:
+                value = round(value, round_to)
+            return spark.createDataFrame([(float(value),)], f"{alias} double")
+
+        return q
+
+    def uniqueness_query(table: str, cols, alias: str):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from hooqu_spark.analyzers import Uniqueness
+
+            df = _t(spark, sf_dir, table)
+            value = Uniqueness(cols).calculate(df).value.get()
+            return spark.createDataFrame([(float(value),)], f"{alias} double")
+
+        return q
+
+    def entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import Entropy
+
+        df = _t(spark, sf_dir, "events")
+        value = Entropy(["event_type"]).calculate(df).value.get()
+        return spark.createDataFrame([(round(value, 6),)], "entropy double")
+
+    def distinctness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import Distinctness
+
+        df = _t(spark, sf_dir, "orders")
+        value = Distinctness(["o_custkey"]).calculate(df).value.get()
+        return spark.createDataFrame([(float(value),)], "distinctness double")
+
+    def count_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import CountDistinct
+
+        df = _t(spark, sf_dir, "part")
+        value = CountDistinct(["p_brand"]).calculate(df).value.get()
+        return spark.createDataFrame([(float(value),)], "n_brands double")
+
+    def frequencies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import FrequencyBasedAnalyzer
+
+        df = _t(spark, sf_dir, "events")
+        state = FrequencyBasedAnalyzer.compute_frequencies(df, ["event_type"])
+        return state.frequencies.select(
+            "event_type", F.col("hooqu_count").alias("n")
+        )
+
+    def where_filtered_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import Minimum
+
+        df = _t(spark, sf_dir, "lineitem")
+        value = (
+            Minimum("l_quantity", where="l_returnflag == 'A'")
+            .calculate(df)
+            .value.get()
+        )
+        return spark.createDataFrame([(float(value),)], "min_qty double")
+
+    def pattern_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import PatternMatch
+
+        df = _t(spark, sf_dir, "documents")
+        value = PatternMatch("text", r"\bspark\b").calculate(df).value.get()
+        return spark.createDataFrame([(float(value),)], "match_frac double")
+
+    def compliance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import Compliance
+
+        df = _t(spark, sf_dir, "events")
+        value = (
+            Compliance("hi", "value > 100", where="event_type == 'purchase'")
+            .calculate(df)
+            .value.get()
+        )
+        return spark.createDataFrame([(float(value),)], "frac double")
+
+    # -- training-data ops ---------------------------------------------------
+    def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.ops import exact_dedup
+
+        df = _t(spark, sf_dir, "documents")
+        return exact_dedup(df, ["lang", "source"], "doc_id").select(
+            "doc_id", "lang", "source"
+        )
+
+    def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.ops import token_counts
+
+        df = _t(spark, sf_dir, "documents")
+        return token_counts(df).select("doc_id", "n_tokens")
+
+    def lang_distribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.ops import language_distribution
+
+        return language_distribution(_t(spark, sf_dir, "documents"))
+
+    def topk_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Exact brute-force cosine top-5 for vec_id=3's embedding,
+        # computed JVM-side with a sequential fold so float semantics
+        # match the DuckDB oracle (both engines: float->double cast,
+        # left-to-right summation).
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "e", F.col("embedding").cast("array<double>")
+        )
+        q = emb.where(F.col("vec_id") == 3).select("e").first()[0]
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        dot = F.aggregate(
+            F.zip_with("e", qlit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        norm_e = F.sqrt(
+            F.aggregate(
+                F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+            )
+        )
+        qn = float(sum(x * x for x in q)) ** 0.5
+        cosine = F.round(dot / (norm_e * F.lit(qn)), 6)
+        return (
+            emb.select("vec_id", cosine.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col("vec_id"))
+            .limit(5)
+        )
+
+    def minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # No SQL oracle (LSH not SQL-expressible) -> rows-only check.
+        from hooqu_spark.ops import minhash_dedup
+
+        df = _t(spark, sf_dir, "documents")
+        return minhash_dedup(df, "doc_id", threshold=0.7).select("doc_id")
+
+    def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Deterministic signatures; rows-only check (no SQL oracle).
+        from hooqu_spark.ops import simhash_signatures
+
+        df = _t(spark, sf_dir, "documents")
+        return simhash_signatures(df, "doc_id").withColumnRenamed("id", "doc_id")
+
+    return {
+        # -- hooqu analyzer surface (SURVEY.md §2a) --
+        "size_lineitem": metric_query("lineitem", lambda: Size(), "size_value"),
+        "completeness_documents_text": metric_query(
+            "documents", lambda: Completeness("text"), "completeness"
+        ),
+        "minimum_l_quantity": metric_query(
+            "lineitem", lambda: Minimum("l_quantity"), "min_qty"
+        ),
+        "maximum_l_quantity": metric_query(
+            "lineitem", lambda: Maximum("l_quantity"), "max_qty"
+        ),
+        "sum_l_quantity": metric_query(
+            "lineitem", lambda: Sum("l_quantity"), "sum_qty"
+        ),
+        "mean_l_extendedprice": metric_query(
+            "lineitem", lambda: Mean("l_extendedprice"), "mean_price", round_to=4
+        ),
+        "stddev_pop_l_discount": metric_query(
+            "lineitem",
+            lambda: StandardDeviation("l_discount"),
+            "stddev_discount",
+            round_to=6,
+        ),
+        "quantile_nearest_l_quantity": metric_query(
+            "lineitem", lambda: Quantile("l_quantity", 0.5), "median_qty"
+        ),
+        "min_length_documents_text": metric_query(
+            "documents", lambda: MinLength("text"), "min_len"
+        ),
+        "max_length_documents_text": metric_query(
+            "documents", lambda: MaxLength("text"), "max_len"
+        ),
+        "minimum_l_quantity_filtered": where_filtered_min,
+        "compliance_purchase_value": compliance_query,
+        "pattern_match_spark_documents": pattern_match_query,
+        # -- grouping analyzers (§2a frequency family) --
+        "uniqueness_orders_custkey": uniqueness_query(
+            "orders", ["o_custkey"], "uniqueness"
+        ),
+        "uniqueness_lineitem_pk": uniqueness_query(
+            "lineitem", ["l_orderkey", "l_linenumber"], "uniqueness"
+        ),
+        "distinctness_orders_custkey": distinctness_query,
+        "count_distinct_part_brand": count_distinct_query,
+        "entropy_events_type": entropy_query,
+        "frequencies_events_type": frequencies_query,
+        # -- training-data ops --
+        "dedup_exact_documents": dedup_exact_query,
+        "token_count_documents": token_count_query,
+        "language_distribution_documents": lang_distribution_query,
+        "topk_cosine_embeddings": topk_cosine_query,
+        "minhash_dedup_documents": minhash_dedup_query,
+        "simhash_signatures_documents": simhash_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "size_lineitem": "SELECT CAST(count(*) AS DOUBLE) AS size_value FROM lineitem",
+        "completeness_documents_text": (
+            "SELECT CAST(count(text) AS DOUBLE)/count(*) AS completeness"
+            " FROM documents"
+        ),
+        "minimum_l_quantity": (
+            "SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty FROM lineitem"
+        ),
+        "maximum_l_quantity": (
+            "SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty FROM lineitem"
+        ),
+        "sum_l_quantity": (
+            "SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty FROM lineitem"
+        ),
+        "mean_l_extendedprice": (
+            "SELECT round(avg(l_extendedprice), 4) AS mean_price FROM lineitem"
+        ),
+        "stddev_pop_l_discount": (
+            "SELECT round(stddev_pop(l_discount), 6) AS stddev_discount"
+            " FROM lineitem"
+        ),
+        "quantile_nearest_l_quantity": (
+            # nearest-rank median == discrete quantile on this data
+            "SELECT CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty"
+            " FROM lineitem"
+        ),
+        "min_length_documents_text": (
+            "SELECT CAST(min(length(text)) AS DOUBLE) AS min_len FROM documents"
+        ),
+        "max_length_documents_text": (
+            "SELECT CAST(max(length(text)) AS DOUBLE) AS max_len FROM documents"
+        ),
+        "minimum_l_quantity_filtered": (
+            "SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty FROM lineitem"
+            " WHERE l_returnflag = 'A'"
+        ),
+        "compliance_purchase_value": (
+            "SELECT CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)"
+            "/count(*) AS frac FROM events WHERE event_type = 'purchase'"
+        ),
+        "pattern_match_spark_documents": (
+            "SELECT CAST(sum(CASE WHEN regexp_matches(text, '\\bspark\\b')"
+            " THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS match_frac FROM documents"
+        ),
+        "uniqueness_orders_custkey": (
+            "SELECT CAST(sum(CASE WHEN c=1 THEN 1 ELSE 0 END) AS DOUBLE)/sum(c)"
+            " AS uniqueness FROM (SELECT count(*) c FROM orders"
+            " WHERE o_custkey IS NOT NULL GROUP BY o_custkey)"
+        ),
+        "uniqueness_lineitem_pk": (
+            "SELECT CAST(sum(CASE WHEN c=1 THEN 1 ELSE 0 END) AS DOUBLE)/sum(c)"
+            " AS uniqueness FROM (SELECT count(*) c FROM lineitem"
+            " WHERE l_orderkey IS NOT NULL OR l_linenumber IS NOT NULL"
+            " GROUP BY l_orderkey, l_linenumber)"
+        ),
+        "distinctness_orders_custkey": (
+            "SELECT CAST(count(*) AS DOUBLE)/sum(c) AS distinctness"
+            " FROM (SELECT count(*) c FROM orders WHERE o_custkey IS NOT NULL"
+            " GROUP BY o_custkey)"
+        ),
+        "count_distinct_part_brand": (
+            "SELECT CAST(count(DISTINCT p_brand) AS DOUBLE) AS n_brands FROM part"
+        ),
+        "entropy_events_type": (
+            "SELECT round(ln(sum(c)) - sum(c*ln(c))/sum(c), 6) AS entropy"
+            " FROM (SELECT CAST(count(*) AS DOUBLE) c FROM events"
+            " WHERE event_type IS NOT NULL GROUP BY event_type)"
+        ),
+        "frequencies_events_type": (
+            "SELECT event_type, count(*) AS n FROM events"
+            " WHERE event_type IS NOT NULL GROUP BY event_type"
+        ),
+        "dedup_exact_documents": (
+            "SELECT doc_id, lang, source FROM ("
+            "SELECT doc_id, lang, source,"
+            " row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) rn"
+            " FROM documents) WHERE rn = 1"
+        ),
+        "token_count_documents": (
+            "SELECT doc_id, len(list_filter(string_split(text, ' '),"
+            " x -> x <> '')) AS n_tokens FROM documents"
+        ),
+        "language_distribution_documents": (
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+            " ORDER BY lang"
+        ),
+        "topk_cosine_embeddings": (
+            "WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings"
+            " WHERE vec_id = 3)"
+            " SELECT vec_id, round(list_cosine_similarity("
+            "embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine"
+            " FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 5"
+        ),
+        # minhash_dedup_documents / simhash_signatures_documents:
+        # LSH ops are not SQL-expressible -> rows-only checks.
+    }

@@ -1,0 +1,50 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's metric surface, these are the operations a
+100TB web-text curation pipeline needs: deduplication (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine), approximate
+nearest-neighbor search, text analysis, and multimodal column
+plumbing.  All are expressed Spark-first: built-in columnar functions
+where possible, Arrow-batched numpy kernels where not, shuffles only
+on bucketed candidate keys (never all-pairs).
+"""
+
+from .dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+    simhash_signatures,
+)
+from .similarity import (
+    brute_force_topk,
+    cosine_scores,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from .text import (
+    document_fingerprints,
+    language_distribution,
+    quality_features,
+    token_counts,
+)
+
+__all__ = [
+    "brute_force_topk",
+    "cosine_scores",
+    "document_fingerprints",
+    "embedding_near_duplicates",
+    "exact_dedup",
+    "language_distribution",
+    "lsh_bucketed_topk",
+    "lsh_candidate_pairs",
+    "minhash_dedup",
+    "minhash_signatures",
+    "ngram_jaccard_dedup",
+    "quality_features",
+    "simhash_dedup",
+    "simhash_signatures",
+    "token_counts",
+]

@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard.
+
+Scale design: no all-pairs comparison ever materializes.  Candidate
+generation is bucket-based (LSH bands / simhash chunks), so the only
+shuffles are (a) groupBy on band keys and (b) a self-join restricted to
+bucket-equal rows.  Signatures are computed in Arrow-batched numpy
+(vectorized over the hash dimension), deterministic across runs and
+partitionings.
+
+Survivor policy (deterministic): within a duplicate cluster the row
+with the smallest id survives; a row is dropped if ANY
+smaller-id candidate matches at >= threshold (greedy-by-id, one pass —
+at 10^12 docs full transitive closure needs iterative label
+propagation; the greedy policy needs none).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, subset: List[str], id_col: str) -> DataFrame:
+    """Keep the smallest-id row per exact key combination.
+
+    Hash-shuffle on the key columns only; equivalent SQL:
+    ``SELECT * FROM t QUALIFY row_number() OVER
+    (PARTITION BY subset ORDER BY id) = 1``.
+    """
+    w = Window.partitionBy(*subset).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, shingle_size: int) -> np.ndarray:
+    words = text.split()
+    if len(words) < shingle_size:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [
+            " ".join(words[i : i + shingle_size])
+            for i in range(len(words) - shingle_size + 1)
+        ]
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in shingles),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+    )
+
+
+def _minhash_params(n_hashes: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) via vectorized universal hashing:
+    sig[i] = min over shingles s of (a_i * crc32(s) + b_i) mod p."""
+    a, b = _minhash_params(n_hashes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col].tolist():
+                h = _shingle_hashes(text or "", shingle_size)
+                # min over shingles of (a*h + b) mod p, vectorized
+                vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, n_bands: int = 16
+) -> DataFrame:
+    """Explode signatures into band keys; self-join within band buckets
+    -> candidate (id_a, id_b) pairs with id_a < id_b.  The join key is
+    the band hash, so co-bucketed rows alone shuffle together."""
+    rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
+    banded = sig_df.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            "signature", i * rows_per_band + 1, rows_per_band
+                        ).cast("string")
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _signature_agreement(pairs: DataFrame, sig_df: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhash components."""
+    sa = sig_df.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig_df.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return joined.select(
+        "id_a", "id_b", (agree / F.size("sig_a")).alias("est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Drop rows whose estimated Jaccard vs any smaller-id candidate is
+    >= threshold (greedy-by-id survivor policy)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
+    pairs = lsh_candidate_pairs(sigs, n_bands)
+    scored = _signature_agreement(pairs, sigs)
+    losers = (
+        scored.where(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over token crc32 hashes (numpy bit-vote kernel)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col].tolist():
+                words = (text or "").split()
+                if not words:
+                    out.append(0)
+                    continue
+                hs = np.fromiter(
+                    (
+                        zlib.crc32(w.encode("utf-8"))
+                        | (zlib.crc32(w[::-1].encode("utf-8")) << 32)
+                        for w in words
+                    ),
+                    dtype=np.uint64,
+                    count=len(words),
+                )
+                bits = ((hs[:, None] & bit_weights[None, :]) != 0).astype(np.int32)
+                votes = bits.sum(axis=0) * 2 - len(words)
+                sig = int((bit_weights[votes > 0]).sum())
+                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup removal by SimHash: bucket on 4x16-bit chunks (two rows
+    within hamming distance <= 3 of a 64-bit hash agree on at least one
+    of 4 chunks — pigeonhole), verify hamming distance inside buckets."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.chunk_val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    losers = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .where(hamming <= max_hamming)
+        .select(F.col("r.id").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify inside LSH buckets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with EXACT n-gram Jaccard
+    (shingle-set intersection over union, computed JVM-side on shingle
+    hash arrays)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
+    pairs = lsh_candidate_pairs(sigs, n_bands)
+
+    def shingle_arrays(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [
+                _shingle_hashes(t or "", shingle_size).astype(np.int64).tolist()
+                for t in pdf[text_col].tolist()
+            ]
+            yield pd.DataFrame({"id": pdf[id_col], "shingles": arrs})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("shingles", T.ArrayType(T.LongType())),
+        ]
+    )
+    sh = df.select(id_col, text_col).mapInPandas(shingle_arrays, schema=schema)
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    losers = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where((inter / union) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: brute-force cosine top-k — the query vector broadcasts as a
+plain Python closure constant into an Arrow-batched numpy matmul
+(one GEMV per batch), and ``orderBy().limit(k)`` compiles to Spark's
+TakeOrderedAndProject (per-partition heap + driver merge, no global
+sort).
+
+Scale path: LSH-bucketed search (signed random projections).  Vectors
+land in 2^n_planes buckets; queries probe only their own bucket (plus
+optional multi-probe neighbors), so the scan narrows by ~2^n_planes
+while recall stays high for near neighbors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cosine_udf(query_vec: Sequence[float]):
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf("double")
+    def cos(col: pd.Series) -> pd.Series:
+        mat = np.asarray(col.tolist(), dtype=np.float64)  # (batch, dim)
+        norms = np.linalg.norm(mat, axis=1)
+        dots = mat @ q
+        denom = norms * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, dots / denom, 0.0)
+        return pd.Series(out)
+
+    return cos
+
+
+def cosine_scores(
+    df: DataFrame, query_vec: Sequence[float], vec_col: str = "embedding"
+) -> DataFrame:
+    return df.withColumn("cosine", _cosine_udf(query_vec)(F.col(vec_col)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on id."""
+    scored = cosine_scores(df, query_vec, vec_col)
+    return (
+        scored.select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _projection_planes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def lsh_bucket_udf(dim: int, n_planes: int, seed: int = 13):
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _projection_planes(dim, n_planes, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("long")
+    def bucket(col: pd.Series) -> pd.Series:
+        mat = np.asarray(col.tolist(), dtype=np.float64)
+        signs = (mat @ planes) > 0
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return bucket
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket.
+
+    At 10^12 vectors, pre-materialize the bucket column and
+    partition/Z-order the table by it so the probe is a partition-pruned
+    scan instead of a full pass.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _projection_planes(len(q), n_planes, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    q_bucket = int((((q @ planes) > 0) * weights).sum())
+
+    bucketed = df.withColumn(
+        "_bucket", lsh_bucket_udf(len(q), n_planes, seed)(F.col(vec_col))
+    )
+    probe = bucketed.where(F.col("_bucket") == q_bucket)
+    return brute_force_topk(probe, query_vec, k, vec_col, id_col)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 10,
+    seed: int = 13,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed: exact
+    cosine is verified only within buckets (JVM-side arithmetic on the
+    normalized vectors via zip_with/aggregate)."""
+    dim = len(df.select(vec_col).first()[0])
+    bucketed = df.withColumn(
+        "_bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col))
+    ).select(id_col, vec_col, "_bucket")
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.{vec_col}"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cosine = dot / (norm("l") * norm("r"))
+    return (
+        l.join(
+            r,
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,54 @@
+"""Text-analysis operators over a documents table.
+
+JVM-side column expressions wherever the semantics allow (token
+counting, fingerprints, distributions); the heavier per-doc analysis
+(quality features, language ID) reuses the pipeline's single-pass
+Arrow UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count_col(text_col: str = "text") -> Column:
+    """Whitespace token count as a pure Catalyst expression.
+
+    Semantics: number of non-empty chunks when splitting on single
+    spaces — matches ``len([w for w in text.split(' ') if w])`` and the
+    DuckDB oracle ``len(list_filter(string_split(text, ' '), x -> x <> ''))``.
+    """
+    return F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count_col(text_col))
+
+
+def document_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprints: exact (xxhash64 of the text) and a
+    shift-resistant prefix fingerprint (hash of the first 8 tokens) —
+    both JVM-side, no Python."""
+    tokens = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    return df.withColumn("fp_exact", F.xxhash64(F.col(text_col))).withColumn(
+        "fp_prefix", F.xxhash64(F.concat_ws(" ", F.slice(tokens, 1, 8)))
+    )
+
+
+def language_distribution(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    return (
+        df.groupBy(lang_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(lang_col)
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full per-doc quality feature set (single Arrow UDF pass) —
+    delegates to the pipeline's enrich stage."""
+    from ..pipeline.core import enrich
+
+    return enrich(df, text_col=text_col)

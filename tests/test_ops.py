@@ -1,0 +1,177 @@
+"""Tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hooqu_spark.ops import (
+    brute_force_topk,
+    document_fingerprints,
+    embedding_near_duplicates,
+    exact_dedup,
+    lsh_bucketed_topk,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+    simhash_signatures,
+    token_counts,
+)
+from hooqu_spark.ops.multimodal import (
+    attach_binary_metadata,
+    extract_binary_features,
+    frame_sample_stub,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest to find some food for the winter"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base.replace("winter", "summer")),  # near duplicate of 0
+        (3, "completely different text about spark dataframes and shuffles"),
+        (4, "another unrelated document mentioning hash joins and scans"),
+        (5, base.replace("quick", "slow").replace("lazy", "angry")),
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+class TestExactDedup:
+    def test_keeps_smallest_id(self, docs):
+        out = exact_dedup(docs, ["text"], "id")
+        ids = {r["id"] for r in out.collect()}
+        assert 0 in ids and 1 not in ids
+        assert ids == {0, 2, 3, 4, 5, 6}
+
+
+class TestMinHash:
+    def test_signatures_deterministic_and_sized(self, docs):
+        s1 = {r["id"]: r["signature"] for r in minhash_signatures(docs, "id").collect()}
+        s2 = {r["id"]: r["signature"] for r in minhash_signatures(docs, "id").collect()}
+        assert s1 == s2
+        assert all(len(sig) == 64 for sig in s1.values())
+        assert s1[0] == s1[1]  # identical text -> identical signature
+
+    def test_candidates_and_dedup(self, docs):
+        sigs = minhash_signatures(docs, "id")
+        pairs = {
+            (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()
+        }
+        assert (0, 1) in pairs  # exact dup always a candidate
+        out = minhash_dedup(docs, "id", threshold=0.8)
+        ids = {r["id"] for r in out.collect()}
+        assert 0 in ids and 1 not in ids  # exact dup dropped
+        assert 2 not in ids  # near dup (1-word change) dropped
+        assert {3, 4}.issubset(ids)  # unrelated docs survive
+
+    def test_ngram_jaccard_dedup_exact_verify(self, docs):
+        out = ngram_jaccard_dedup(docs, "id", threshold=0.8)
+        ids = {r["id"] for r in out.collect()}
+        assert 1 not in ids and 0 in ids
+        assert {3, 4}.issubset(ids)
+
+
+class TestSimHash:
+    def test_signature_properties(self, docs):
+        sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs, "id").collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[3]
+        assert sigs[6] == 0  # empty text
+
+    def test_dedup_drops_exact_and_near(self, docs):
+        out = simhash_dedup(docs, "id", max_hamming=3)
+        ids = {r["id"] for r in out.collect()}
+        assert 0 in ids and 1 not in ids
+        assert {3, 4}.issubset(ids)
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.RandomState(0)
+        mat = rng.standard_normal((200, 16))
+        mat[7] = mat[3] * 1.001 + 0.0001  # near duplicate of row 3
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(200)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_brute_force_topk_matches_numpy(self, vecs):
+        pdf = vecs.toPandas()
+        mat = np.asarray(pdf["embedding"].tolist())
+        q = mat[3]
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        expected = set(np.argsort(-cos)[:5].tolist())
+        got = [r["vec_id"] for r in brute_force_topk(vecs, q.tolist(), k=5).collect()]
+        assert set(got) == expected
+        assert got[0] == 3  # self is the best match
+
+    def test_lsh_topk_finds_near_duplicate(self, vecs):
+        pdf = vecs.toPandas()
+        q = np.asarray(pdf["embedding"].tolist())[3]
+        got = [
+            r["vec_id"]
+            for r in lsh_bucketed_topk(vecs, q.tolist(), k=3, n_planes=6).collect()
+        ]
+        assert got[0] == 3
+        assert 7 in got  # the engineered near-dup lands in the same bucket
+
+    def test_embedding_near_duplicates(self, vecs):
+        pairs = embedding_near_duplicates(vecs, threshold=0.999).collect()
+        assert any(r["id_a"] == 3 and r["id_b"] == 7 for r in pairs)
+
+
+class TestText:
+    def test_token_counts_matches_python(self, docs):
+        got = {r["id"]: r["n_tokens"] for r in token_counts(docs).collect()}
+        for row in docs.collect():
+            assert got[row["id"]] == len([w for w in row["text"].split(" ") if w])
+
+    def test_fingerprints(self, docs):
+        out = document_fingerprints(docs).collect()
+        by_id = {r["id"]: r for r in out}
+        assert by_id[0]["fp_exact"] == by_id[1]["fp_exact"]
+        assert by_id[0]["fp_exact"] != by_id[3]["fp_exact"]
+        # prefix fingerprint survives a suffix change
+        assert by_id[0]["fp_prefix"] == by_id[2]["fp_prefix"]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (0, b"\x89PNG\r\n" + b"x" * 5000),
+            (1, b"\xff\xd8\xff\xe0" + b"y" * 3000),
+            (2, b"<html><body>hi</body></html>"),
+            (3, None),
+        ]
+        return spark.createDataFrame(rows, "id long, html binary")
+
+    def test_metadata(self, media):
+        out = {r["id"]: r["media_meta"] for r in attach_binary_metadata(media).collect()}
+        assert out[0]["format"] == "png"
+        assert out[1]["format"] == "jpeg"
+        assert out[2]["format"] == "html"
+        assert out[3]["n_bytes"] == 0
+        assert out[0]["width"] >= 64  # deterministic fake decode
+
+    def test_features_shape_and_determinism(self, media):
+        a = {r["id"]: r["media_features"] for r in extract_binary_features(media).collect()}
+        b = {r["id"]: r["media_features"] for r in extract_binary_features(media).collect()}
+        assert a == b
+        assert len(a[0]) == 16
+        assert abs(sum(a[0]) - 1.0) < 1e-5
+
+    def test_frame_sampling(self, media):
+        frames = frame_sample_stub(media, every_n=2).collect()
+        by_id = {}
+        for r in frames:
+            by_id.setdefault(r["id"], []).append(r["frame_idx"])
+        assert len(by_id[0]) == 3  # 5 pseudo-frames sampled every 2 -> 0,2,4
+        assert 3 not in by_id  # null payload -> no frames
