@@ -51,25 +51,30 @@ def timed(fn):
     return round(time.perf_counter() - t0, 3)
 
 
-def _burn(n: int) -> None:
-    import zlib
+def _burn(reps: int) -> None:
+    """Calibration worker: the ACTUAL enrich kernel over a fixed doc
+    set — measures what this host can do for this workload with plain
+    multiprocessing (no Spark), the ceiling Spark is judged against."""
+    from hooqu_spark.pipeline.features import compute_doc_features
+    from hooqu_spark.pipeline.synth import make_doc
 
-    x = b"calibration payload " * 32
-    c = 0
-    for _ in range(n):
-        c ^= zlib.crc32(x)
+    texts = [make_doc(i)["text"] for i in range(200)]
+    for _ in range(reps):
+        for t in texts:
+            compute_doc_features(t)
 
 
-def _raw_cpu_rate(procs: int, units: int = 400000) -> float:
-    """Aggregate raw-CPU work rate of `procs` processes on this host —
-    the hardware calibration baseline for scaling efficiency."""
+def _raw_cpu_rate(procs: int, reps: int = 4) -> float:
+    """Aggregate kernel work rate (docs/sec) of `procs` plain
+    multiprocessing workers — the hardware calibration baseline."""
     import multiprocessing as mp
 
-    with mp.get_context("spawn").Pool(procs) as pool:
+    with mp.get_context("fork").Pool(procs) as pool:
+        pool.map(_burn, [1] * procs)  # warm imports
         t0 = time.perf_counter()
-        pool.map(_burn, [units] * procs)
+        pool.map(_burn, [reps] * procs)
         wall = time.perf_counter() - t0
-    return procs / wall
+    return procs * 200 * reps / wall
 
 
 def pipeline_job(spark, pages_path: str) -> None:
@@ -81,7 +86,9 @@ def pipeline_job(spark, pages_path: str) -> None:
 
     from hooqu_spark.pipeline import DEFAULT_RULES, apply_rules, enrich
 
-    pages = spark.read.parquet(pages_path)
+    # prune the fat binary column before the Arrow UDF stage (Catalyst
+    # does not prune through the Python eval node)
+    pages = spark.read.parquet(pages_path).select("url", "warc_ts", "text", "lang")
     enriched = apply_rules(enrich(pages), DEFAULT_RULES)
     enriched.agg(
         F.count(F.lit(1)),
@@ -141,7 +148,8 @@ def main() -> None:
     queries["uniqueness_lineitem_pk"] = timed(q_uniqueness)
 
     # -- headline 3: full pipeline compute at max cores ---------------------
-    t_pipeline = timed(lambda: pipeline_job(spark, PAGES_DIR))
+    pipeline_job(spark, PAGES_DIR)  # warm-up (python workers, JIT)
+    t_pipeline = min(timed(lambda: pipeline_job(spark, PAGES_DIR)) for _ in range(2))
     queries["pipeline_enrich_rules_docs"] = t_pipeline
     queries["pipeline_docs_per_sec"] = round(N_DOCS / t_pipeline, 1)
 
@@ -166,15 +174,16 @@ def main() -> None:
 
     spark.stop()
 
-    # -- scaling evidence: identical job at local[8] vs local[32] -----------
-    # Sandbox caveat: this is ONE shared VM, not two clusters.  The host
-    # itself does not scale linearly for pure CPU work (frequency
-    # behavior + noisy neighbors), so alongside the raw pipeline
-    # efficiency we measure a same-process raw-CPU calibration (N
-    # multiprocessing workers doing fixed crc32 loops) and report the
-    # pipeline's efficiency NORMALIZED by what the hardware itself
-    # delivers — the number that predicts multi-executor (separate
-    # machine) scaling.  Min-of-3 reps defends against neighbor noise.
+    # -- scaling evidence: identical job on an 8-CPU vs 32-CPU "machine" ----
+    # Faithful N-vs-4N proxy: each measurement runs in a SUBPROCESS whose
+    # CPU affinity is pinned to N cores BEFORE Spark starts, so the JVM,
+    # its task threads AND the forked Python UDF workers are all confined
+    # to N CPUs (plain local[N] does NOT cap python workers — it quietly
+    # uses ~2N cores, compressing the measured ratio).  The host is a
+    # noisy shared VM, so we also measure a plain-multiprocessing
+    # calibration of the same kernel (the hardware ceiling) and report
+    # the pipeline's efficiency normalized by it.  Min over interleaved
+    # reps defends against neighbor noise.
     if RUN_SCALING:
         lo_cores, hi_cores = 8, min(32, CPUS if CPUS >= 8 else 32)
         hw_rate = {}
@@ -182,16 +191,37 @@ def main() -> None:
             hw_rate[cores] = max(_raw_cpu_rate(cores) for _ in range(3))
         hw_ratio = hw_rate[hi_cores] / hw_rate[lo_cores]
 
-        times = {}
-        for cores in (lo_cores, hi_cores):
-            s = make_session(cores)
-            pipeline_job(s, PAGES_DIR)  # warm-up (JIT, arrow, py workers)
-            times[cores] = min(
-                timed(lambda: pipeline_job(s, PAGES_DIR)) for _ in range(3)
-            )
+        # the scaling job needs enough work that fixed per-job costs
+        # (scheduling, scan setup) don't mask the parallel fraction
+        scaling_docs = max(N_DOCS, 480000)
+        scaling_dir = PAGES_DIR + "_scaling"
+        if scaling_docs == N_DOCS:
+            scaling_dir = PAGES_DIR
+        elif not os.path.isdir(scaling_dir):
+            s = make_session(CPUS)
+            from hooqu_spark.pipeline import synthesize as _synth
+
+            _synth(s, scaling_docs, partitions=256).write.mode(
+                "overwrite"
+            ).parquet(scaling_dir)
             s.stop()
-        tput_lo = N_DOCS / times[lo_cores]
-        tput_hi = N_DOCS / times[hi_cores]
+
+        # interleave the two parallelism levels (2 rounds each, min per
+        # level) so noisy-neighbor windows hit both levels equally
+        import subprocess
+
+        times = {lo_cores: float("inf"), hi_cores: float("inf")}
+        for cores in (lo_cores, hi_cores, lo_cores, hi_cores):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-worker", str(cores), scaling_dir],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            best = float(out.stdout.strip().splitlines()[-1])
+            times[cores] = min(times[cores], best)
+        tput_lo = scaling_docs / times[lo_cores]
+        tput_hi = scaling_docs / times[hi_cores]
         ratio = tput_hi / tput_lo
         eff = ratio / (hi_cores / lo_cores)
         queries[f"pipeline_sec_c{lo_cores}"] = times[lo_cores]
@@ -226,8 +256,27 @@ def main() -> None:
     )
 
 
+def _scaling_worker(cores: int, pages_dir: str) -> None:
+    """Run the pipeline job pinned to `cores` CPUs; print best seconds.
+
+    Affinity is set before the JVM launches, so Spark task threads, GC
+    and the forked Python UDF workers all inherit the N-CPU budget —
+    a faithful stand-in for an N-core executor host.
+    """
+    os.sched_setaffinity(0, set(range(cores)))
+    s = make_session(cores)
+    pipeline_job(s, pages_dir)  # warm-up (JIT, arrow, py workers)
+    best = min(timed(lambda: pipeline_job(s, pages_dir)) for _ in range(2))
+    s.stop()
+    print(best)
+
+
 if __name__ == "__main__":
-    try:
-        main()
-    finally:
-        shutil.rmtree(PAGES_DIR, ignore_errors=True)
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-worker":
+        _scaling_worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        try:
+            main()
+        finally:
+            shutil.rmtree(PAGES_DIR, ignore_errors=True)
+            shutil.rmtree(PAGES_DIR + "_scaling", ignore_errors=True)

@@ -70,7 +70,13 @@ def _features_udf():
 
 
 def enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append all feature columns in a single vectorized UDF pass."""
+    """Append all feature columns in a single vectorized UDF pass.
+
+    Performance: drop fat columns (e.g. ``html`` binary) BEFORE calling
+    this — Catalyst does not prune columns through the Python eval
+    node, so every column still in the plan is decoded and carried
+    alongside the UDF (measured 2.4x slowdown with a 1KB binary kept).
+    """
     featurize = _features_udf()
     tmp = df.withColumn("_features", featurize(F.col(text_col)))
     return tmp.select("*", "_features.*").drop("_features")
@@ -204,7 +210,11 @@ def run_pipeline(
 
     processed: List[str] = []
     if todo.limit(1).count() > 0:
-        enriched_new = apply_rules(enrich(todo), rules).drop("html")
+        # Drop the fat binary column BEFORE the Arrow UDF stage:
+        # Catalyst does not prune columns through the Python eval node,
+        # so anything still in the plan is decoded and carried (2.4x
+        # slower measured with html kept).
+        enriched_new = apply_rules(enrich(todo.drop("html")), rules)
         (
             enriched_new.write.partitionBy("bucket")
             .option("partitionOverwriteMode", "dynamic")

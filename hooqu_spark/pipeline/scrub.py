@@ -29,10 +29,21 @@ TOXIC_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Prechecks provably implied by the patterns (pure fast-path, cannot
+# change results): EMAIL requires a literal '@'; both CREDITCARD
+# branches start with four consecutive digits.
+_CC_PRECHECK = re.compile(r"\d{4}")
+
 
 def scrub_text(text: str) -> Tuple[str, int, int, int]:
     """Return (scrubbed_text, n_emails, n_creditcards, n_toxic)."""
-    scrubbed, n_emails = patterns.EMAIL.subn(SCRUB_EMAIL_TOKEN, text)
-    scrubbed, n_ccs = patterns.CREDITCARD.subn(SCRUB_CREDITCARD_TOKEN, scrubbed)
+    n_emails = n_ccs = 0
+    scrubbed = text
+    if "@" in text:
+        scrubbed, n_emails = patterns.EMAIL.subn(SCRUB_EMAIL_TOKEN, scrubbed)
+    if _CC_PRECHECK.search(scrubbed):
+        scrubbed, n_ccs = patterns.CREDITCARD.subn(
+            SCRUB_CREDITCARD_TOKEN, scrubbed
+        )
     scrubbed, n_toxic = TOXIC_RE.subn(SCRUB_TOXIC_TOKEN, scrubbed)
     return scrubbed, n_emails, n_ccs, n_toxic
