@@ -211,6 +211,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(5)
         )
 
+    def correlation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import Correlation
+
+        df = _t(spark, sf_dir, "lineitem")
+        value = (
+            Correlation("l_quantity", "l_extendedprice")
+            .calculate(df)
+            .value.get()
+        )
+        return spark.createDataFrame([(round(value, 6),)], "corr double")
+
+    def mutual_information_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import MutualInformation
+
+        df = _t(spark, sf_dir, "orders")
+        value = (
+            MutualInformation(["o_orderstatus", "o_orderpriority"])
+            .calculate(df)
+            .value.get()
+        )
+        return spark.createDataFrame([(round(value, 6),)], "mi double")
+
+    def histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import Histogram
+
+        df = _t(spark, sf_dir, "lineitem")
+        return Histogram("l_returnflag").distribution(df).select(
+            "value", "count", F.round("ratio", 6).alias("ratio")
+        )
+
+    def unique_value_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import UniqueValueRatio
+
+        df = _t(spark, sf_dir, "orders")
+        value = UniqueValueRatio(["o_custkey"]).calculate(df).value.get()
+        return spark.createDataFrame([(float(value),)], "uvr double")
+
+    def data_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Derive a deterministic mixed-type string column from event_id,
+        # classify with DataTypeHistogram, return the bucket counts.
+        from hooqu_spark.analyzers import DataTypeHistogram
+
+        df = _t(spark, sf_dir, "events").withColumn(
+            "v",
+            F.when(F.col("event_id") % 4 == 0, F.lit("true"))
+            .when(F.col("event_id") % 4 == 1, F.col("event_id").cast("string"))
+            .when(
+                F.col("event_id") % 4 == 2,
+                F.concat(F.col("event_id").cast("string"), F.lit(".5")),
+            )
+            .otherwise(F.lit("txt")),
+        )
+        s = DataTypeHistogram("v").compute_state_from(df)
+        return spark.createDataFrame(
+            [(s.n_boolean, s.n_integral, s.n_fractional, s.n_string, s.n_null)],
+            "n_boolean long, n_integral long, n_fractional long,"
+            " n_string long, n_null long",
+        )
+
+    def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # IVF with n_probe == n_centroids is exhaustive -> exact top-k,
+        # so the brute-force SQL oracle applies; partial-probe recall is
+        # covered by the pytest suite.
+        from hooqu_spark.ops import ivf_topk
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "e", F.col("embedding").cast("array<double>")
+        )
+        q = emb.where(F.col("vec_id") == 3).select("e").first()[0]
+        out = ivf_topk(
+            emb, q, k=5, vec_col="e", id_col="vec_id",
+            n_centroids=8, n_probe=8,
+        )
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    def fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # xxhash64 fingerprints are JVM-specific -> rows-only check.
+        from hooqu_spark.ops import document_fingerprints
+
+        df = _t(spark, sf_dir, "documents")
+        return document_fingerprints(df).select("doc_id", "fp_exact", "fp_prefix")
+
+    def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # LSH-bucketed candidate generation -> rows-only check.
+        from hooqu_spark.ops import ngram_jaccard_dedup
+
+        df = _t(spark, sf_dir, "documents")
+        return ngram_jaccard_dedup(df, "doc_id", threshold=0.8).select("doc_id")
+
     def minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # No SQL oracle (LSH not SQL-expressible) -> rows-only check.
         from hooqu_spark.ops import minhash_dedup
@@ -272,13 +361,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct_part_brand": count_distinct_query,
         "entropy_events_type": entropy_query,
         "frequencies_events_type": frequencies_query,
+        "unique_value_ratio_orders_custkey": unique_value_ratio_query,
+        "histogram_lineitem_returnflag": histogram_query,
+        "mutual_information_orders": mutual_information_query,
+        # -- multi-column / typed extensions --
+        "correlation_lineitem_qty_price": correlation_query,
+        "data_type_histogram_events": data_type_query,
         # -- training-data ops --
         "dedup_exact_documents": dedup_exact_query,
         "token_count_documents": token_count_query,
         "language_distribution_documents": lang_distribution_query,
         "topk_cosine_embeddings": topk_cosine_query,
+        "ivf_topk_embeddings": ivf_topk_query,
         "minhash_dedup_documents": minhash_dedup_query,
         "simhash_signatures_documents": simhash_query,
+        "fingerprints_documents": fingerprints_query,
+        "ngram_jaccard_dedup_documents": ngram_jaccard_query,
     }
 
 
@@ -355,6 +453,61 @@ def oracle_sql() -> dict[str, str]:
         "frequencies_events_type": (
             "SELECT event_type, count(*) AS n FROM events"
             " WHERE event_type IS NOT NULL GROUP BY event_type"
+        ),
+        "unique_value_ratio_orders_custkey": (
+            "SELECT CAST(sum(CASE WHEN c=1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            "/count(*) AS uvr FROM (SELECT count(*) c FROM orders"
+            " WHERE o_custkey IS NOT NULL GROUP BY o_custkey)"
+        ),
+        "histogram_lineitem_returnflag": (
+            "SELECT l_returnflag AS value, count(*) AS count,"
+            " round(CAST(count(*) AS DOUBLE)"
+            "/(SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT NULL), 6)"
+            " AS ratio FROM lineitem WHERE l_returnflag IS NOT NULL"
+            " GROUP BY l_returnflag ORDER BY count DESC, value"
+        ),
+        "mutual_information_orders": (
+            "WITH f AS (SELECT o_orderstatus x, o_orderpriority y,"
+            " CAST(count(*) AS DOUBLE) c FROM orders"
+            " WHERE o_orderstatus IS NOT NULL OR o_orderpriority IS NOT NULL"
+            " GROUP BY 1, 2),"
+            " w AS (SELECT c, sum(c) OVER (PARTITION BY x) cx,"
+            " sum(c) OVER (PARTITION BY y) cy, sum(c) OVER () t FROM f)"
+            " SELECT round(sum((c/t) * ln(c*t/(cx*cy))), 6) AS mi FROM w"
+        ),
+        "correlation_lineitem_qty_price": (
+            "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr"
+            " FROM lineitem"
+        ),
+        "data_type_histogram_events": (
+            "WITH d AS (SELECT CASE"
+            " WHEN event_id % 4 = 0 THEN 'true'"
+            " WHEN event_id % 4 = 1 THEN CAST(event_id AS VARCHAR)"
+            " WHEN event_id % 4 = 2 THEN CAST(event_id AS VARCHAR) || '.5'"
+            " ELSE 'txt' END AS v FROM events)"
+            " SELECT"
+            " CAST(sum(CASE WHEN regexp_matches(v, '^(true|false)$')"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_boolean,"
+            " CAST(sum(CASE WHEN regexp_matches(v, '^[-+]?[0-9]+$')"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_integral,"
+            " CAST(sum(CASE WHEN regexp_matches(v,"
+            "   '^[-+]?([0-9]*\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][-+]?[0-9]+)?$')"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_fractional,"
+            " CAST(sum(CASE WHEN v IS NOT NULL"
+            "   AND NOT regexp_matches(v, '^(true|false)$')"
+            "   AND NOT regexp_matches(v, '^[-+]?[0-9]+$')"
+            "   AND NOT regexp_matches(v,"
+            "   '^[-+]?([0-9]*\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][-+]?[0-9]+)?$')"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_string,"
+            " CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_null FROM d"
+        ),
+        "ivf_topk_embeddings": (
+            "WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings"
+            " WHERE vec_id = 3)"
+            " SELECT vec_id, round(list_cosine_similarity("
+            "embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine"
+            " FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 5"
         ),
         "dedup_exact_documents": (
             "SELECT doc_id, lang, source FROM ("

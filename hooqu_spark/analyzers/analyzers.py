@@ -21,6 +21,8 @@ from pyspark.sql.functions import pandas_udf
 from ..expr import translate
 from ..metrics import DoubleMetric, Entity
 from ..states import (
+    CorrelationState,
+    DataTypeHistogramState,
     MaxState,
     MeanState,
     MinState,
@@ -441,6 +443,107 @@ class Compliance(ScanShareableAnalyzer):
 
     def state_from_agg(self, values: Sequence) -> Optional[State]:
         return NumMatchesAndCount(int(values[0] or 0), int(values[1] or 0))
+
+
+class Correlation(ScanShareableAnalyzer):
+    """Pearson correlation of two numeric columns over rows where BOTH
+    are non-null (and non-NaN, for pandas parity) — a Deequ-style
+    two-column extension (the reference has no multi-column numeric
+    analyzer).  Contributes six plain sums to the fused scan, so the
+    per-partition states merge by addition (``CorrelationState``);
+    the metric itself matches SQL ``corr(x, y)``."""
+
+    def __init__(self, col_a: str, col_b: str, where: Optional[str] = None):
+        super().__init__(
+            "Correlation", f"{col_a},{col_b}", Entity.MULTICOLUMN, where
+        )
+        self.col_a = col_a
+        self.col_b = col_b
+
+    def _identity(self):
+        return super()._identity() + (self.col_a, self.col_b)
+
+    def preconditions(self):
+        return [
+            has_column(self.col_a),
+            is_numeric(self.col_a),
+            has_column(self.col_b),
+            is_numeric(self.col_b),
+        ]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        x = nan_safe_col(df, self.col_a).cast("double")
+        y = nan_safe_col(df, self.col_b).cast("double")
+        pair = x.isNotNull() & y.isNotNull()
+        both = pair if cond is None else (cond & pair)
+        x, y = F.when(both, x), F.when(both, y)
+        return [
+            F.count(x),
+            F.sum(x),
+            F.sum(y),
+            F.sum(x * x),
+            F.sum(y * y),
+            F.sum(x * y),
+        ]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        n = int(values[0] or 0)
+        if n == 0:
+            return None
+        return CorrelationState(
+            float(n), *(_f(v, default=0.0) for v in values[1:6])
+        )
+
+
+# Classifier regexes for DataTypeHistogram — anchored full-value
+# matches, evaluated JVM-side via rlike (whole-stage codegen).
+_BOOLEAN_RE = "^(true|false)$"
+_INTEGRAL_RE = "^[-+]?[0-9]+$"
+_FRACTIONAL_RE = "^[-+]?([0-9]*\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][-+]?[0-9]+)?$"
+
+
+class DataTypeHistogram(ScanShareableAnalyzer):
+    """Classify every value of a string column as boolean / integral /
+    fractional / other-string / null and count each bucket in the fused
+    scan (Deequ's ``DataType`` analyzer; no reference equivalent).
+    The scalar metric is the dominant non-null bucket's fraction; the
+    full distribution and the inferred most-specific type come from the
+    state (``DataTypeHistogramState.histogram()`` / ``inferred_type()``).
+    """
+
+    def __init__(self, column: str, where: Optional[str] = None):
+        super().__init__("DataTypeHistogram", column, Entity.COLUMN, where)
+
+    def preconditions(self):
+        return [has_column(self.instance), is_string(self.instance)]
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        cond = where_cond(self.where)
+        col = F.col(self.instance)
+        buckets = [
+            col.rlike(_BOOLEAN_RE),
+            col.rlike(_INTEGRAL_RE),
+            col.rlike(_FRACTIONAL_RE),
+            col.isNotNull()
+            & ~col.rlike(_BOOLEAN_RE)
+            & ~col.rlike(_INTEGRAL_RE)
+            & ~col.rlike(_FRACTIONAL_RE),
+            col.isNull(),
+        ]
+        out = []
+        for b in buckets:
+            match = b if cond is None else (cond & b)
+            out.append(
+                F.coalesce(
+                    F.sum(F.when(match, F.lit(1)).otherwise(F.lit(0))),
+                    F.lit(0),
+                )
+            )
+        return out
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        return DataTypeHistogramState(*(int(v or 0) for v in values[:5]))
 
 
 def _python_regex_matcher(pattern: Union[str, Pattern]):

@@ -25,7 +25,7 @@ import math
 from functools import reduce
 from typing import List, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..expr import translate
@@ -78,6 +78,11 @@ class FrequenciesAndNumRows(State):
 class FrequencyBasedAnalyzer(Analyzer):
     """Base for analyzers over group frequencies."""
 
+    #: True for analyzers whose metric needs the full frequency table
+    #: (not just the shared scalar statistics) — the runner then calls
+    #: ``compute_metric_from(state)`` instead of ``metric_from_stats``.
+    uses_full_frequencies = False
+
     def __init__(self, name: str, cols_to_group_on: Sequence[str],
                  where: Optional[str] = None):
         self._cols_to_group_on = list(cols_to_group_on)
@@ -127,8 +132,12 @@ class FrequencyBasedAnalyzer(Analyzer):
 
     # -- shared sufficient statistics over the frequency table --------------
     @staticmethod
-    def frequency_stats(frequencies: DataFrame) -> Tuple[int, int, int, float]:
-        """(total_rows, n_groups, n_singleton_groups, sum(c*ln c)) in one job."""
+    def frequency_stats(
+        frequencies: DataFrame,
+    ) -> Tuple[int, int, int, float, int]:
+        """(total_rows, n_groups, n_singletons, sum(c*ln c), max_count)
+        in one job — one row of sufficient statistics serving every
+        frequency-based analyzer on the same (columns, where) pair."""
         cnt = F.col(COUNT_COL)
         row = frequencies.agg(
             F.coalesce(F.sum(cnt), F.lit(0)).alias("total"),
@@ -139,23 +148,26 @@ class FrequencyBasedAnalyzer(Analyzer):
             F.coalesce(
                 F.sum(cnt.cast("double") * F.log(cnt.cast("double"))), F.lit(0.0)
             ).alias("clnc"),
+            F.coalesce(F.max(cnt), F.lit(0)).alias("maxc"),
         ).first()
-        return int(row[0]), int(row[1]), int(row[2]), float(row[3])
+        return int(row[0]), int(row[1]), int(row[2]), float(row[3]), int(row[4])
 
     def metric_from_stats(
-        self, total: int, groups: int, singletons: int, clnc: float
+        self, total: int, groups: int, singletons: int, clnc: float,
+        maxc: int = 0,
     ) -> DoubleMetric:
         if total == 0:
             return metric_from_empty(self, self.name, self.instance, self.entity)
         return metric_from_value(
-            self._value_from_stats(total, groups, singletons, clnc),
+            self._value_from_stats(total, groups, singletons, clnc, maxc),
             self.name,
             self.instance,
             self.entity,
         )
 
     def _value_from_stats(
-        self, total: int, groups: int, singletons: int, clnc: float
+        self, total: int, groups: int, singletons: int, clnc: float,
+        maxc: int,
     ) -> float:
         raise NotImplementedError
 
@@ -164,8 +176,7 @@ class FrequencyBasedAnalyzer(Analyzer):
     ) -> DoubleMetric:
         if state is None:
             return metric_from_empty(self, self.name, self.instance, self.entity)
-        total, groups, singletons, clnc = self.frequency_stats(state.frequencies)
-        return self.metric_from_stats(total, groups, singletons, clnc)
+        return self.metric_from_stats(*self.frequency_stats(state.frequencies))
 
 
 class Uniqueness(FrequencyBasedAnalyzer):
@@ -177,7 +188,7 @@ class Uniqueness(FrequencyBasedAnalyzer):
             columns = [columns]
         super().__init__("Uniqueness", columns, where)
 
-    def _value_from_stats(self, total, groups, singletons, clnc) -> float:
+    def _value_from_stats(self, total, groups, singletons, clnc, maxc) -> float:
         return singletons / total
 
 
@@ -189,7 +200,7 @@ class Distinctness(FrequencyBasedAnalyzer):
             columns = [columns]
         super().__init__("Distinctness", columns, where)
 
-    def _value_from_stats(self, total, groups, singletons, clnc) -> float:
+    def _value_from_stats(self, total, groups, singletons, clnc, maxc) -> float:
         return groups / total
 
 
@@ -201,7 +212,7 @@ class UniqueValueRatio(FrequencyBasedAnalyzer):
             columns = [columns]
         super().__init__("UniqueValueRatio", columns, where)
 
-    def _value_from_stats(self, total, groups, singletons, clnc) -> float:
+    def _value_from_stats(self, total, groups, singletons, clnc, maxc) -> float:
         return singletons / groups
 
 
@@ -213,7 +224,7 @@ class CountDistinct(FrequencyBasedAnalyzer):
             columns = [columns]
         super().__init__("CountDistinct", columns, where)
 
-    def _value_from_stats(self, total, groups, singletons, clnc) -> float:
+    def _value_from_stats(self, total, groups, singletons, clnc, maxc) -> float:
         return float(groups)
 
 
@@ -227,8 +238,94 @@ class Entropy(FrequencyBasedAnalyzer):
             columns = [columns]
         super().__init__("Entropy", columns, where)
 
-    def _value_from_stats(self, total, groups, singletons, clnc) -> float:
+    def _value_from_stats(self, total, groups, singletons, clnc, maxc) -> float:
         return math.log(total) - clnc / total
+
+
+class Histogram(FrequencyBasedAnalyzer):
+    """Value distribution of a column (Deequ's ``Histogram``).  The
+    scalar metric is the **mode share** — the fraction of rows holding
+    the most frequent value (1.0 = constant column, ->0 = spread out)
+    — computed from the shared frequency statistics.  The full
+    distribution (value, count, ratio), capped at ``max_detail_bins``
+    most-frequent bins, comes from :meth:`distribution` as a lazy
+    DataFrame (TakeOrderedAndProject, no full sort)."""
+
+    def __init__(
+        self,
+        column: str,
+        max_detail_bins: int = 1000,
+        where: Optional[str] = None,
+    ):
+        super().__init__("Histogram", [column], where)
+        self.max_detail_bins = max_detail_bins
+
+    def _identity(self):
+        return super()._identity() + (self.max_detail_bins,)
+
+    def _value_from_stats(self, total, groups, singletons, clnc, maxc) -> float:
+        return maxc / total
+
+    def distribution(self, data: DataFrame) -> DataFrame:
+        """(value, count, ratio) for the top ``max_detail_bins`` values
+        by frequency; ratio is relative to all grouped rows."""
+        state = self.compute_state_from(data)
+        freq = state.frequencies
+        col = self.grouping_columns[0]
+        total = F.sum(COUNT_COL).over(Window.partitionBy())
+        return (
+            freq.select(
+                F.col(col).alias("value"),
+                F.col(COUNT_COL).alias("count"),
+                (F.col(COUNT_COL) / total).alias("ratio"),
+            )
+            .orderBy(F.desc("count"), F.asc("value"))
+            .limit(self.max_detail_bins)
+        )
+
+
+class MutualInformation(FrequencyBasedAnalyzer):
+    """Mutual information (nats) between two columns (Deequ-style
+    extension): ``MI = Σ_xy p(x,y) · ln( p(x,y) / (p(x)·p(y)) )``.
+
+    Computed from the single joint ``groupBy(x, y).count()`` frequency
+    table; the marginals are window sums over that (already small)
+    table, so the raw data is scanned exactly once and only group keys
+    shuffle — no second pass, no join."""
+
+    uses_full_frequencies = True
+
+    def __init__(self, columns: Sequence[str], where: Optional[str] = None):
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        if len(cols) != 2:
+            raise ValueError(
+                "MutualInformation requires exactly two columns,"
+                f" got {len(cols)}"
+            )
+        super().__init__("MutualInformation", cols, where)
+
+    def compute_metric_from(
+        self, state: Optional[FrequenciesAndNumRows]
+    ) -> DoubleMetric:
+        if state is None:
+            return metric_from_empty(self, self.name, self.instance, self.entity)
+        col_x, col_y = self.grouping_columns
+        freq = state.frequencies
+        c = F.col(COUNT_COL).cast("double")
+        cx = F.sum(c).over(Window.partitionBy(col_x))
+        cy = F.sum(c).over(Window.partitionBy(col_y))
+        total = F.sum(c).over(Window.partitionBy())
+        term = (c / total) * F.log(c * total / (cx * cy))
+        row = (
+            freq.select(term.alias("term"))
+            .agg(F.sum("term").alias("mi"), F.count(F.lit(1)).alias("groups"))
+            .first()
+        )
+        if not row[1]:
+            return metric_from_empty(self, self.name, self.instance, self.entity)
+        return metric_from_value(
+            float(row[0] or 0.0), self.name, self.instance, self.entity
+        )
 
 
 GROUPING_ANALYZERS = (
@@ -237,4 +334,6 @@ GROUPING_ANALYZERS = (
     UniqueValueRatio,
     CountDistinct,
     Entropy,
+    Histogram,
+    MutualInformation,
 )

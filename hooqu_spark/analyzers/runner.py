@@ -188,14 +188,19 @@ def do_analysis_run(
             state = FrequencyBasedAnalyzer.compute_frequencies(
                 data, list(cols), where
             )
-            stats = FrequencyBasedAnalyzer.frequency_stats(state.frequencies)
+            stats = None
+            if any(not g.uses_full_frequencies for g in group_analyzers):
+                stats = FrequencyBasedAnalyzer.frequency_stats(state.frequencies)
         except Exception as e:  # noqa: BLE001
             for g in group_analyzers:
                 metrics[g] = g.to_failure_metric(e)
             continue
         for g in group_analyzers:
             try:
-                metrics[g] = g.metric_from_stats(*stats)
+                if g.uses_full_frequencies:
+                    metrics[g] = g.compute_metric_from(state)
+                else:
+                    metrics[g] = g.metric_from_stats(*stats)
             except Exception as e:  # noqa: BLE001
                 metrics[g] = g.to_failure_metric(e)
 

@@ -36,17 +36,26 @@ from .constraints import (
     ConstraintDecorator,
     ConstraintResult,
     ConstraintStatus,
+    approx_count_distinct_constraint,
     completeness_constraint,
     compliance_constraint,
+    correlation_constraint,
+    data_type_constraint,
+    distinctness_constraint,
+    entropy_constraint,
     max_constraint,
+    max_length_constraint,
     mean_constraint,
     min_constraint,
+    min_length_constraint,
+    mutual_information_constraint,
     pattern_match_constraint,
     quantile_constraint,
     size_constraint,
     standard_deviation_constraint,
     sum_constraint,
     uniqueness_constraint,
+    unique_value_ratio_constraint,
 )
 
 
@@ -352,6 +361,115 @@ class Check:
             assertion=assertion,
             name=f"containsURL({column})",
             hint=hint,
+        )
+
+    # -- Deequ-style extensions (no reference equivalent) ----------------------
+    def has_distinctness(
+        self,
+        columns: Union[Sequence[str], str],
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        if isinstance(columns, str):
+            columns = [columns]
+        return self._add_filterable_constraint(
+            lambda filter_: distinctness_constraint(
+                columns, assertion, filter_, hint
+            )
+        )
+
+    def has_unique_value_ratio(
+        self,
+        columns: Union[Sequence[str], str],
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        if isinstance(columns, str):
+            columns = [columns]
+        return self._add_filterable_constraint(
+            lambda filter_: unique_value_ratio_constraint(
+                columns, assertion, filter_, hint
+            )
+        )
+
+    def has_entropy(
+        self,
+        column: str,
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        return self._add_filterable_constraint(
+            lambda filter_: entropy_constraint([column], assertion, filter_, hint)
+        )
+
+    def has_mutual_information(
+        self,
+        column_a: str,
+        column_b: str,
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        return self._add_filterable_constraint(
+            lambda filter_: mutual_information_constraint(
+                [column_a, column_b], assertion, filter_, hint
+            )
+        )
+
+    def has_correlation(
+        self,
+        column_a: str,
+        column_b: str,
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        return self._add_filterable_constraint(
+            lambda filter_: correlation_constraint(
+                column_a, column_b, assertion, filter_, hint
+            )
+        )
+
+    def has_approx_count_distinct(
+        self,
+        column: str,
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        return self._add_filterable_constraint(
+            lambda filter_: approx_count_distinct_constraint(
+                column, assertion, filter_, hint
+            )
+        )
+
+    def has_min_length(
+        self,
+        column: str,
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        return self._add_filterable_constraint(
+            lambda filter_: min_length_constraint(column, assertion, filter_, hint)
+        )
+
+    def has_max_length(
+        self,
+        column: str,
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        return self._add_filterable_constraint(
+            lambda filter_: max_length_constraint(column, assertion, filter_, hint)
+        )
+
+    def has_data_type(
+        self,
+        column: str,
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        """Assert on the fraction of non-null values in the dominant
+        inferred type bucket (boolean/integral/fractional/string)."""
+        return self._add_filterable_constraint(
+            lambda filter_: data_type_constraint(column, assertion, filter_, hint)
         )
 
     # -- evaluation ------------------------------------------------------------

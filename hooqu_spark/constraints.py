@@ -16,17 +16,26 @@ from typing import Callable, Mapping, Optional, Pattern, Sequence, Union
 
 from .analyzers import (
     Analyzer,
+    ApproxCountDistinct,
     Completeness,
     Compliance,
+    Correlation,
+    DataTypeHistogram,
+    Distinctness,
+    Entropy,
     Maximum,
+    MaxLength,
     Mean,
     Minimum,
+    MinLength,
+    MutualInformation,
     PatternMatch,
     Quantile,
     Size,
     StandardDeviation,
     Sum,
     Uniqueness,
+    UniqueValueRatio,
 )
 from .metrics import Metric, Success
 
@@ -306,6 +315,81 @@ def uniqueness_constraint(
     return NamedConstraint(
         AnalysisBasedConstraint(uniqueness, assertion, hint=hint),
         f"UniquenessConstraint({uniqueness!r})",
+    )
+
+
+def _simple_column_constraint(analyzer_cls, label: str):
+    """Factory-of-factories for single-column analyzer constraints
+    (Deequ-style extensions sharing one shape)."""
+
+    def factory(
+        column: str,
+        assertion: Callable[[float], bool],
+        where: Optional[str] = None,
+        hint: Optional[str] = None,
+    ) -> Constraint:
+        analyzer = analyzer_cls(column, where)
+        return NamedConstraint(
+            AnalysisBasedConstraint(analyzer, assertion, hint=hint),
+            f"{label}({analyzer!r})",
+        )
+
+    return factory
+
+
+min_length_constraint = _simple_column_constraint(
+    MinLength, "MinLengthConstraint"
+)
+max_length_constraint = _simple_column_constraint(
+    MaxLength, "MaxLengthConstraint"
+)
+approx_count_distinct_constraint = _simple_column_constraint(
+    ApproxCountDistinct, "ApproxCountDistinctConstraint"
+)
+data_type_constraint = _simple_column_constraint(
+    DataTypeHistogram, "DataTypeConstraint"
+)
+
+
+def _grouping_constraint(analyzer_cls, label: str):
+    def factory(
+        columns: Sequence[str],
+        assertion: Callable[[float], bool],
+        where: Optional[str] = None,
+        hint: Optional[str] = None,
+    ) -> Constraint:
+        analyzer = analyzer_cls(columns, where)
+        return NamedConstraint(
+            AnalysisBasedConstraint(analyzer, assertion, hint=hint),
+            f"{label}({analyzer!r})",
+        )
+
+    return factory
+
+
+distinctness_constraint = _grouping_constraint(
+    Distinctness, "DistinctnessConstraint"
+)
+unique_value_ratio_constraint = _grouping_constraint(
+    UniqueValueRatio, "UniqueValueRatioConstraint"
+)
+entropy_constraint = _grouping_constraint(Entropy, "EntropyConstraint")
+mutual_information_constraint = _grouping_constraint(
+    MutualInformation, "MutualInformationConstraint"
+)
+
+
+def correlation_constraint(
+    col_a: str,
+    col_b: str,
+    assertion: Callable[[float], bool],
+    where: Optional[str] = None,
+    hint: Optional[str] = None,
+) -> Constraint:
+    corr = Correlation(col_a, col_b, where)
+    return NamedConstraint(
+        AnalysisBasedConstraint(corr, assertion, hint=hint),
+        f"CorrelationConstraint({corr!r})",
     )
 
 

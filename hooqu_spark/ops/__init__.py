@@ -22,6 +22,7 @@ from .similarity import (
     brute_force_topk,
     cosine_scores,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from .text import (
@@ -37,6 +38,7 @@ __all__ = [
     "document_fingerprints",
     "embedding_near_duplicates",
     "exact_dedup",
+    "ivf_topk",
     "language_distribution",
     "lsh_bucketed_topk",
     "lsh_candidate_pairs",

@@ -252,6 +252,108 @@ def _merge_quantile_grids(g1, n1, g2, n2, m):
 
 
 @dataclass(frozen=True)
+class CorrelationState(DoubleValuedState):
+    """Pearson-correlation sufficient statistics over rows where BOTH
+    columns are non-null: ``(n, Σx, Σy, Σx², Σy², Σxy)``.  Merging is
+    plain component-wise summation, so per-partition states combine
+    commutatively (Deequ keeps the equivalent ``Corr`` aggregate;
+    the reference has no two-column analyzer at all)."""
+
+    n: float
+    sx: float
+    sy: float
+    sxx: float
+    syy: float
+    sxy: float
+
+    def sum(self, other: "CorrelationState") -> "CorrelationState":
+        return CorrelationState(
+            self.n + other.n,
+            self.sx + other.sx,
+            self.sy + other.sy,
+            self.sxx + other.sxx,
+            self.syy + other.syy,
+            self.sxy + other.sxy,
+        )
+
+    def metric_value(self) -> float:
+        if self.n == 0:
+            return float("nan")
+        cov = self.n * self.sxy - self.sx * self.sy
+        vx = self.n * self.sxx - self.sx * self.sx
+        vy = self.n * self.syy - self.sy * self.sy
+        denom = math.sqrt(vx) * math.sqrt(vy)
+        if denom == 0 or math.isnan(denom):
+            return float("nan")
+        return cov / denom
+
+
+DATA_TYPE_BUCKETS = ("boolean", "integral", "fractional", "string", "null")
+
+
+@dataclass(frozen=True)
+class DataTypeHistogramState(DoubleValuedState):
+    """Counts of string values classifiable as boolean / integral /
+    fractional / other-string / null (Deequ's ``DataType`` analyzer).
+    Merge = component-wise sum.  ``metric_value`` is the fraction of
+    non-null values in the dominant bucket; the full distribution is
+    available via ``histogram()``."""
+
+    n_boolean: int
+    n_integral: int
+    n_fractional: int
+    n_string: int
+    n_null: int
+
+    def sum(self, other: "DataTypeHistogramState") -> "DataTypeHistogramState":
+        return DataTypeHistogramState(
+            self.n_boolean + other.n_boolean,
+            self.n_integral + other.n_integral,
+            self.n_fractional + other.n_fractional,
+            self.n_string + other.n_string,
+            self.n_null + other.n_null,
+        )
+
+    def _counts(self) -> Dict[str, int]:
+        return {
+            "boolean": self.n_boolean,
+            "integral": self.n_integral,
+            "fractional": self.n_fractional,
+            "string": self.n_string,
+            "null": self.n_null,
+        }
+
+    def inferred_type(self) -> str:
+        """Most specific type covering all non-null values: boolean if
+        all boolean; integral if all numeric are integral and no plain
+        strings; fractional if all numeric; else string."""
+        c = self._counts()
+        non_null = c["boolean"] + c["integral"] + c["fractional"] + c["string"]
+        if non_null == 0:
+            return "null"
+        if c["boolean"] == non_null:
+            return "boolean"
+        if c["integral"] == non_null:
+            return "integral"
+        if c["integral"] + c["fractional"] == non_null:
+            return "fractional"
+        return "string"
+
+    def histogram(self) -> Dict[str, float]:
+        total = sum(self._counts().values())
+        if total == 0:
+            return {k: float("nan") for k in DATA_TYPE_BUCKETS}
+        return {k: v / total for k, v in self._counts().items()}
+
+    def metric_value(self) -> float:
+        c = self._counts()
+        non_null = c["boolean"] + c["integral"] + c["fractional"] + c["string"]
+        if non_null == 0:
+            return float("nan")
+        return max(c["boolean"], c["integral"], c["fractional"], c["string"]) / non_null
+
+
+@dataclass(frozen=True)
 class ApproxCountDistinctState(DoubleValuedState):
     """HyperLogLog-style mergeable distinct-count state: max-merge of
     per-register rank maxima.  Registers are stored as a tuple of ints."""
@@ -291,6 +393,8 @@ _STATE_TYPES = {
         QuantileState,
         QuantileSketchState,
         ApproxCountDistinctState,
+        CorrelationState,
+        DataTypeHistogramState,
     )
 }
 

@@ -1,0 +1,316 @@
+"""Tests for the Deequ-style extension analyzers added beyond the
+reference surface: Correlation, DataTypeHistogram, Histogram,
+MutualInformation — plus their fluent Check methods, runner fusion,
+and the IVF similarity variant."""
+
+import math
+
+import numpy as np
+import pytest
+
+from hooqu_spark import Check, CheckLevel, CheckStatus, VerificationSuite
+from hooqu_spark.analyzers import (
+    Correlation,
+    DataTypeHistogram,
+    Entropy,
+    Histogram,
+    MutualInformation,
+    do_analysis_run,
+)
+from hooqu_spark.states import CorrelationState, DataTypeHistogramState
+
+
+class TestCorrelation:
+    @pytest.fixture(scope="class")
+    def df_xy(self, spark):
+        rows = [
+            (1.0, 2.0),
+            (2.0, 4.0),
+            (3.0, 5.0),
+            (4.0, 4.0),
+            (5.0, 5.0),
+        ]
+        return spark.createDataFrame(rows, "x double, y double")
+
+    def test_matches_numpy(self, df_xy):
+        value = Correlation("x", "y").calculate(df_xy).value.get()
+        xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+        ys = [2.0, 4.0, 5.0, 4.0, 5.0]
+        expected = np.corrcoef(xs, ys)[0, 1]
+        assert value == pytest.approx(expected, rel=1e-12)
+
+    def test_perfect_correlation(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), 2.0 * i + 1) for i in range(10)], "x double, y double"
+        )
+        assert Correlation("x", "y").calculate(df).value.get() == pytest.approx(
+            1.0
+        )
+
+    def test_rows_with_null_or_nan_in_either_column_excluded(self, spark):
+        nan = float("nan")
+        df = spark.createDataFrame(
+            [
+                (1.0, 2.0),
+                (2.0, None),
+                (None, 3.0),
+                (nan, 4.0),
+                (3.0, 1.0),
+            ],
+            "x double, y double",
+        )
+        # only (1,2) and (3,1) participate -> r = -1
+        value = Correlation("x", "y").calculate(df).value.get()
+        assert value == pytest.approx(-1.0)
+
+    def test_where_filter(self, df_xy):
+        value = (
+            Correlation("x", "y", where="x <= 3").calculate(df_xy).value.get()
+        )
+        expected = np.corrcoef([1.0, 2.0, 3.0], [2.0, 4.0, 5.0])[0, 1]
+        assert value == pytest.approx(expected, rel=1e-12)
+
+    def test_constant_column_is_nan(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+        )
+        assert math.isnan(Correlation("x", "y").calculate(df).value.get())
+
+    def test_empty_is_failure(self, spark):
+        df = spark.createDataFrame([], "x double, y double")
+        assert Correlation("x", "y").calculate(df).value.isFailure
+
+    def test_non_numeric_fails_precondition(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "x string, y double")
+        assert Correlation("x", "y").calculate(df).value.isFailure
+
+    def test_state_merge_monoid(self, spark, df_xy):
+        half1 = df_xy.where("x <= 2")
+        half2 = df_xy.where("x > 2")
+        a = Correlation("x", "y")
+        merged = a.compute_state_from(half1).sum(a.compute_state_from(half2))
+        whole = a.compute_state_from(df_xy)
+        assert merged.metric_value() == pytest.approx(
+            whole.metric_value(), rel=1e-12
+        )
+        assert isinstance(merged, CorrelationState)
+
+
+class TestDataTypeHistogram:
+    @pytest.fixture(scope="class")
+    def df_typed(self, spark):
+        rows = [
+            ("true",),
+            ("false",),
+            ("12",),
+            ("-7",),
+            ("3.14",),
+            ("1e3",),  # no decimal point -> string by our classifier
+            ("2.5e-2",),
+            ("hello",),
+            (None,),
+        ]
+        return spark.createDataFrame(rows, "v string")
+
+    def test_histogram_buckets(self, df_typed):
+        state = DataTypeHistogram("v").compute_state_from(df_typed)
+        assert state == DataTypeHistogramState(
+            n_boolean=2, n_integral=2, n_fractional=2, n_string=2, n_null=1
+        )
+
+    def test_metric_is_dominant_fraction(self, spark):
+        df = spark.createDataFrame(
+            [("1",), ("2",), ("3",), ("x",)], "v string"
+        )
+        assert DataTypeHistogram("v").calculate(df).value.get() == 0.75
+
+    def test_inferred_type(self, spark):
+        ints = spark.createDataFrame([("1",), ("2",)], "v string")
+        assert (
+            DataTypeHistogram("v").compute_state_from(ints).inferred_type()
+            == "integral"
+        )
+        mixed_num = spark.createDataFrame([("1",), ("2.5",)], "v string")
+        assert (
+            DataTypeHistogram("v").compute_state_from(mixed_num).inferred_type()
+            == "fractional"
+        )
+        with_text = spark.createDataFrame([("1",), ("abc",)], "v string")
+        assert (
+            DataTypeHistogram("v").compute_state_from(with_text).inferred_type()
+            == "string"
+        )
+
+    def test_merge_monoid(self):
+        a = DataTypeHistogramState(1, 2, 0, 1, 0)
+        b = DataTypeHistogramState(0, 1, 3, 0, 2)
+        assert a.sum(b) == DataTypeHistogramState(1, 3, 3, 1, 2)
+
+    def test_non_string_fails_precondition(self, spark):
+        df = spark.createDataFrame([(1,)], "v long")
+        assert DataTypeHistogram("v").calculate(df).value.isFailure
+
+
+class TestHistogram:
+    def test_mode_share(self, spark):
+        df = spark.createDataFrame(
+            [("A",), ("B",), ("B",), ("B",), ("C",)], "att1 string"
+        )
+        assert Histogram("att1").calculate(df).value.get() == 0.6
+
+    def test_distribution(self, spark):
+        df = spark.createDataFrame(
+            [("A",), ("B",), ("B",), ("B",), ("C",)], "att1 string"
+        )
+        rows = Histogram("att1").distribution(df).collect()
+        assert [(r["value"], r["count"]) for r in rows] == [
+            ("B", 3),
+            ("A", 1),
+            ("C", 1),
+        ]
+        assert rows[0]["ratio"] == pytest.approx(0.6)
+
+    def test_max_detail_bins_caps_output(self, spark):
+        df = spark.createDataFrame([(str(i % 7),) for i in range(50)], "v string")
+        rows = Histogram("v", max_detail_bins=3).distribution(df).collect()
+        assert len(rows) == 3
+
+    def test_empty_is_failure(self, spark):
+        df = spark.createDataFrame([], "att1 string")
+        assert Histogram("att1").calculate(df).value.isFailure
+
+
+class TestMutualInformation:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "x"), ("b", "y"), ("b", "x")],
+            "u string, v string",
+        )
+        value = MutualInformation(["u", "v"]).calculate(df).value.get()
+        expected = (
+            0.5 * math.log(0.5 / (0.5 * 0.75))
+            + 0.25 * math.log(0.25 / (0.5 * 0.25))
+            + 0.25 * math.log(0.25 / (0.5 * 0.75))
+        )
+        assert value == pytest.approx(expected, rel=1e-12)
+
+    def test_independent_columns_zero(self, spark):
+        rows = [(u, v) for u in "ab" for v in "xy"]
+        df = spark.createDataFrame(rows, "u string, v string")
+        value = MutualInformation(["u", "v"]).calculate(df).value.get()
+        assert value == pytest.approx(0.0, abs=1e-12)
+
+    def test_identical_columns_equal_entropy(self, spark):
+        df = spark.createDataFrame(
+            [("A", "A"), ("B", "B"), ("B", "B")], "u string, v string"
+        )
+        mi = MutualInformation(["u", "v"]).calculate(df).value.get()
+        h = Entropy(["u"]).calculate(df).value.get()
+        assert mi == pytest.approx(h, rel=1e-12)
+
+    def test_requires_exactly_two_columns(self):
+        with pytest.raises(ValueError):
+            MutualInformation(["a"])
+        with pytest.raises(ValueError):
+            MutualInformation(["a", "b", "c"])
+
+    def test_empty_is_failure(self, spark):
+        df = spark.createDataFrame([], "u string, v string")
+        assert MutualInformation(["u", "v"]).calculate(df).value.isFailure
+
+
+class TestRunnerFusionWithExtensions:
+    def test_all_extension_analyzers_in_one_run(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1.0, 2.0, "a", "1"),
+                (2.0, 4.0, "a", "2"),
+                (3.0, 5.0, "b", "x"),
+                (4.0, 4.0, "b", "3"),
+            ],
+            "x double, y double, g string, s string",
+        )
+        analyzers = [
+            Correlation("x", "y"),
+            DataTypeHistogram("s"),
+            Histogram("g"),
+            MutualInformation(["g", "s"]),
+            Entropy(["g"]),
+        ]
+        ctx = do_analysis_run(df, analyzers)
+        values = {a.name: m for a, m in ctx.metric_map.items()}
+        assert values["Correlation"].value.isSuccess
+        assert values["DataTypeHistogram"].value.get() == 0.75
+        assert values["Histogram"].value.get() == 0.5
+        assert values["MutualInformation"].value.isSuccess
+        assert values["Entropy"].value.isSuccess
+
+    def test_check_methods(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1.0, 2.0, "a", "1"),
+                (2.0, 4.0, "b", "2"),
+                (3.0, 5.0, "c", "3"),
+            ],
+            "x double, y double, g string, s string",
+        )
+        result = (
+            VerificationSuite()
+            .on_data(df)
+            .add_check(
+                Check(CheckLevel.ERROR, "extensions")
+                .has_correlation("x", "y", lambda v: v > 0.9)
+                .has_entropy("g", lambda v: v > 1.0)
+                .has_mutual_information("g", "s", lambda v: v > 1.0)
+                .has_distinctness("g", lambda v: v == 1.0)
+                .has_unique_value_ratio("g", lambda v: v == 1.0)
+                .has_approx_count_distinct("g", lambda v: 2 <= v <= 4)
+                .has_min_length("s", lambda v: v == 1)
+                .has_max_length("s", lambda v: v == 1)
+                .has_data_type("s", lambda v: v == 1.0)
+            )
+            .run()
+        )
+        failing = [
+            r
+            for cr in result.check_results.values()
+            for r in cr.constraint_results
+            if r.status.name != "SUCCESS"
+        ]
+        assert result.status == CheckStatus.SUCCESS, failing
+
+
+class TestIvfTopk:
+    def test_recall_vs_brute_force(self, spark):
+        from hooqu_spark.ops import brute_force_topk, ivf_topk
+
+        rng = np.random.RandomState(0)
+        mat = rng.standard_normal((300, 16))
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(300)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = mat[5].tolist()
+        exact = {
+            r["vec_id"] for r in brute_force_topk(vecs, q, k=10).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in ivf_topk(
+                vecs, q, k=10, n_centroids=8, n_probe=4
+            ).collect()
+        }
+        assert len(approx & exact) >= 7  # recall@10 >= 0.7 at half probing
+
+    def test_full_probe_is_exact(self, spark):
+        from hooqu_spark.ops import brute_force_topk, ivf_topk
+
+        rng = np.random.RandomState(1)
+        mat = rng.standard_normal((100, 8))
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(100)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = mat[0].tolist()
+        exact = [r["vec_id"] for r in brute_force_topk(vecs, q, k=5).collect()]
+        full = [
+            r["vec_id"]
+            for r in ivf_topk(vecs, q, k=5, n_centroids=4, n_probe=4).collect()
+        ]
+        assert full == exact
