@@ -268,16 +268,25 @@ class Histogram(FrequencyBasedAnalyzer):
 
     def distribution(self, data: DataFrame) -> DataFrame:
         """(value, count, ratio) for the top ``max_detail_bins`` values
-        by frequency; ratio is relative to all grouped rows."""
+        by frequency; ratio is relative to all grouped rows.
+
+        The grand total joins in as a broadcast 1-row aggregate
+        (BroadcastNestedLoopJoin) — an empty-spec window would collapse
+        the whole frequency table into one partition, which does not
+        survive high-cardinality columns at scale; a driver-side scalar
+        would force a second groupBy over the raw data."""
         state = self.compute_state_from(data)
         freq = state.frequencies
         col = self.grouping_columns[0]
-        total = F.sum(COUNT_COL).over(Window.partitionBy())
+        total = freq.agg(
+            F.coalesce(F.sum(COUNT_COL), F.lit(0)).alias("_total")
+        )
         return (
-            freq.select(
+            freq.crossJoin(F.broadcast(total))
+            .select(
                 F.col(col).alias("value"),
                 F.col(COUNT_COL).alias("count"),
-                (F.col(COUNT_COL) / total).alias("ratio"),
+                (F.col(COUNT_COL) / F.col("_total")).alias("ratio"),
             )
             .orderBy(F.desc("count"), F.asc("value"))
             .limit(self.max_detail_bins)
@@ -312,12 +321,20 @@ class MutualInformation(FrequencyBasedAnalyzer):
         col_x, col_y = self.grouping_columns
         freq = state.frequencies
         c = F.col(COUNT_COL).cast("double")
+        # Marginals as window sums partitioned by each key (scales with
+        # per-key cardinality); the grand total joins in as a broadcast
+        # 1-row aggregate rather than an empty-spec window, which would
+        # collapse the joint frequency table into a single partition.
         cx = F.sum(c).over(Window.partitionBy(col_x))
         cy = F.sum(c).over(Window.partitionBy(col_y))
-        total = F.sum(c).over(Window.partitionBy())
-        term = (c / total) * F.log(c * total / (cx * cy))
+        total_df = freq.agg(
+            F.coalesce(F.sum(c), F.lit(0.0)).alias("_total")
+        )
+        t = F.col("_total")
+        term = (c / t) * F.log(c * t / (cx * cy))
         row = (
-            freq.select(term.alias("term"))
+            freq.crossJoin(F.broadcast(total_df))
+            .select(term.alias("term"))
             .agg(F.sum("term").alias("mi"), F.count(F.lit(1)).alias("groups"))
             .first()
         )

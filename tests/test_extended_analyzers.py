@@ -280,6 +280,34 @@ class TestRunnerFusionWithExtensions:
         assert result.status == CheckStatus.SUCCESS, failing
 
 
+class TestLineageWithExtensionStates:
+    def test_correlation_and_datatype_states_merge_across_buckets(self, spark):
+        from hooqu_spark.lineage import (
+            analyzer_key,
+            compute_partition_states,
+            merge_states,
+            metrics_from_states,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (i % 3, float(i), 2.0 * i + (i % 5), str(i if i % 2 else "x"))
+                for i in range(30)
+            ],
+            "bucket int, x double, y double, s string",
+        )
+        analyzers = [Correlation("x", "y"), DataTypeHistogram("s")]
+        records = compute_partition_states(df, analyzers, "bucket")
+        merged = merge_states(records)
+        metrics = metrics_from_states(analyzers, merged)
+        whole_corr = Correlation("x", "y").calculate(df).value.get()
+        got_corr = metrics[analyzers[0]].value.get()
+        assert got_corr == pytest.approx(whole_corr, rel=1e-12)
+        whole_dt = DataTypeHistogram("s").calculate(df).value.get()
+        assert metrics[analyzers[1]].value.get() == pytest.approx(whole_dt)
+        assert analyzer_key(analyzers[0]).startswith("Correlation|x,y")
+
+
 class TestIvfTopk:
     def test_recall_vs_brute_force(self, spark):
         from hooqu_spark.ops import brute_force_topk, ivf_topk
