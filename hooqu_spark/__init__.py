@@ -11,8 +11,27 @@ those metrics.
 
 __version__ = "0.1.0"
 
+from .anomaly import (
+    AbsoluteChangeStrategy,
+    Anomaly,
+    AnomalyCheck,
+    AnomalyStrategy,
+    MeanDeviationStrategy,
+    RelativeRateOfChangeStrategy,
+    SimpleThresholdStrategy,
+    detect_anomaly,
+    run_with_anomaly_checks,
+)
 from .checks import Check, CheckLevel, CheckResult, CheckStatus, is_one
 from .metrics import DoubleMetric, Entity, Failure, Metric, Success
+from .profiler import (
+    ColumnProfile,
+    ConstraintSuggestion,
+    profile_columns,
+    suggest_constraints,
+    suggested_check,
+)
+from .repository import MetricsRepository
 from .verification_suite import (
     VerificationResult,
     VerificationRunBuilder,
@@ -20,7 +39,22 @@ from .verification_suite import (
 )
 
 __all__ = [
+    "AbsoluteChangeStrategy",
+    "Anomaly",
+    "AnomalyCheck",
+    "AnomalyStrategy",
     "Check",
+    "ColumnProfile",
+    "ConstraintSuggestion",
+    "MeanDeviationStrategy",
+    "MetricsRepository",
+    "RelativeRateOfChangeStrategy",
+    "SimpleThresholdStrategy",
+    "detect_anomaly",
+    "profile_columns",
+    "run_with_anomaly_checks",
+    "suggest_constraints",
+    "suggested_check",
     "CheckLevel",
     "CheckResult",
     "CheckStatus",

@@ -1,0 +1,95 @@
+"""Column profiling + constraint suggestion."""
+
+import pytest
+
+from hooqu_spark import (
+    CheckLevel,
+    CheckStatus,
+    VerificationSuite,
+    profile_columns,
+    suggest_constraints,
+    suggested_check,
+)
+
+
+@pytest.fixture(scope="module")
+def df_profiling(spark):
+    rows = [
+        (i, f"user{i}", ["red", "green", "blue"][i % 3],
+         float(i) if i % 10 else None, str(i))
+        for i in range(100)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, color string, score double, code string"
+    )
+
+
+class TestProfileColumns:
+    def test_profiles_all_columns(self, df_profiling):
+        profiles = profile_columns(df_profiling)
+        assert set(profiles) == {"id", "name", "color", "score", "code"}
+
+    def test_numeric_profile(self, df_profiling):
+        p = profile_columns(df_profiling, ["id"])["id"]
+        assert p.is_numeric
+        assert p.minimum == 0.0 and p.maximum == 99.0
+        assert p.mean == pytest.approx(49.5)
+        assert p.completeness == 1.0
+        assert p.looks_unique
+
+    def test_nullable_numeric(self, df_profiling):
+        p = profile_columns(df_profiling, ["score"])["score"]
+        assert p.completeness == pytest.approx(0.9)
+        assert not p.looks_unique
+
+    def test_low_cardinality_histogram(self, df_profiling):
+        p = profile_columns(df_profiling, ["color"])["color"]
+        assert p.is_string
+        assert p.histogram is not None
+        values = {v for v, _, _ in p.histogram}
+        assert values == {"red", "green", "blue"}
+        assert sum(n for _, n, _ in p.histogram) == 100
+
+    def test_string_type_inference(self, df_profiling):
+        profiles = profile_columns(df_profiling, ["code", "name"])
+        assert profiles["code"].inferred_type == "integral"
+        assert profiles["name"].inferred_type == "string"
+
+    def test_high_cardinality_skips_histogram(self, df_profiling):
+        p = profile_columns(
+            df_profiling, ["name"], low_cardinality_threshold=10
+        )["name"]
+        assert p.histogram is None
+
+
+class TestSuggestions:
+    def test_suggestions_cover_expected_rules(self, df_profiling):
+        profiles = profile_columns(df_profiling)
+        suggestions = suggest_constraints(profiles)
+        codes = {s.code for s in suggestions}
+        assert '.is_complete("id")' in codes
+        assert '.is_unique("id")' in codes
+        assert '.is_non_negative("id")' in codes
+        assert any(c.startswith('.is_contained_in("color"') for c in codes)
+        assert '.has_data_type("code", lambda v: v == 1.0)' in codes
+        assert any(
+            c.startswith('.has_completeness("score"') for c in codes
+        )
+
+    def test_suggested_check_passes_on_profiled_data(
+        self, spark, df_profiling
+    ):
+        profiles = profile_columns(df_profiling)
+        check = suggested_check(
+            suggest_constraints(profiles), level=CheckLevel.ERROR
+        )
+        result = (
+            VerificationSuite().on_data(df_profiling).add_check(check).run()
+        )
+        failing = [
+            r.message
+            for cr in result.check_results.values()
+            for r in cr.constraint_results
+            if r.status.name != "SUCCESS"
+        ]
+        assert result.status == CheckStatus.SUCCESS, failing
