@@ -286,6 +286,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    def quality_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Exercises the pipeline's single-pass Arrow UDF (langid +
+        # perplexity + heuristics); the SQL-expressible features are
+        # oracle-checked (n_chars, whitespace n_words).
+        from hooqu_spark.pipeline.core import enrich
+
+        df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        out = enrich(df)
+        return out.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+
     def fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # xxhash64 fingerprints are JVM-specific -> rows-only check.
         from hooqu_spark.ops import document_fingerprints
@@ -371,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_query,
         "token_count_documents": token_count_query,
         "language_distribution_documents": lang_distribution_query,
+        "quality_features_documents": quality_features_query,
         "topk_cosine_embeddings": topk_cosine_query,
         "ivf_topk_embeddings": ivf_topk_query,
         "minhash_dedup_documents": minhash_dedup_query,
@@ -522,6 +537,13 @@ def oracle_sql() -> dict[str, str]:
         "language_distribution_documents": (
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
             " ORDER BY lang"
+        ),
+        "quality_features_documents": (
+            "SELECT doc_id,"
+            " CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,"
+            " CAST(len(list_filter(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+'), x -> x <> '')) AS BIGINT)"
+            " AS n_words FROM documents"
         ),
         "topk_cosine_embeddings": (
             "WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings"

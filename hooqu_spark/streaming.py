@@ -114,3 +114,112 @@ class StreamingVerification:
         """Return a DataStreamWriter with foreachBatch wired; caller
         sets trigger/checkpoint and calls .start()."""
         return stream_df.writeStream.foreachBatch(self.process_batch)
+
+
+class WindowedMetrics:
+    """Event-time windowed data-quality metrics with late-data handling.
+
+    Spark-first design: the fused analyzer aggregation expressions
+    (the same ones the batch runner compiles) run inside a native
+    Structured Streaming windowed aggregation::
+
+        stream.withWatermark(ts, delay)
+              .groupBy(window(ts, size))
+              .agg(*fused_exprs)
+
+    so Spark's state store owns the cumulative per-window state,
+    watermarking evicts state and drops late events, and each
+    micro-batch emits only the *updated* windows (output mode
+    ``update``).  The driver keeps just the final metric values per
+    window — memory bounded by window count, not data.
+
+    Usage::
+
+        wm = WindowedMetrics([Size(), Completeness("v")], "ts", "10 minutes")
+        q = wm.attach(stream_df).option("checkpointLocation", dir).start()
+        ...
+        wm.window_metrics()   # {(start, end): {analyzer: DoubleMetric}}
+    """
+
+    def __init__(
+        self,
+        analyzers: Sequence[ScanShareableAnalyzer],
+        ts_col: str,
+        window_duration: str,
+        watermark_delay: str = "0 seconds",
+        slide_duration: Optional[str] = None,
+    ):
+        for a in analyzers:
+            if not isinstance(a, ScanShareableAnalyzer):
+                raise TypeError(
+                    f"windowed metrics require scan-shareable analyzers,"
+                    f" got {a!r}"
+                )
+        self.analyzers = list(analyzers)
+        self.ts_col = ts_col
+        self.window_duration = window_duration
+        self.watermark_delay = watermark_delay
+        self.slide_duration = slide_duration
+        self._lock = threading.Lock()
+        self._windows: Dict[tuple, Dict[str, Optional[State]]] = {}
+
+    def _aggregated(self, stream_df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        slices = []
+        exprs = []
+        for a in self.analyzers:
+            ae = a.aggregation_exprs(stream_df)
+            slices.append((a, len(exprs), len(exprs) + len(ae)))
+            exprs.extend(ae)
+        self._slices = slices
+        win = (
+            F.window(self.ts_col, self.window_duration, self.slide_duration)
+            if self.slide_duration
+            else F.window(self.ts_col, self.window_duration)
+        )
+        return (
+            stream_df.withWatermark(self.ts_col, self.watermark_delay)
+            .groupBy(win.alias("_w"))
+            .agg(*(e.alias(f"_w{i}") for i, e in enumerate(exprs)))
+        )
+
+    def _upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        with self._lock:
+            for row in rows:
+                key = (row["_w"]["start"], row["_w"]["end"])
+                body = list(row)[1:]
+                states: Dict[str, Optional[State]] = {}
+                for a, start, end in self._slices:
+                    try:
+                        states[analyzer_key(a)] = a.state_from_agg(
+                            body[start:end]
+                        )
+                    except Exception:  # e.g. empty-window stddev
+                        states[analyzer_key(a)] = None
+                # streaming state store already holds the cumulative
+                # aggregate -> an update REPLACES the window's states
+                self._windows[key] = states
+
+    def attach(self, stream_df: DataFrame):
+        """Return a DataStreamWriter (output mode ``update``) with
+        foreachBatch wired; caller sets trigger/checkpoint, starts."""
+        aggregated = self._aggregated(stream_df)
+        return aggregated.writeStream.outputMode("update").foreachBatch(
+            self._upsert_batch
+        )
+
+    def window_metrics(self) -> Dict[tuple, Dict[Analyzer, DoubleMetric]]:
+        with self._lock:
+            out: Dict[tuple, Dict[Analyzer, DoubleMetric]] = {}
+            for key, states in sorted(self._windows.items()):
+                per: Dict[Analyzer, DoubleMetric] = {}
+                for a in self.analyzers:
+                    state = states.get(analyzer_key(a))
+                    try:
+                        per[a] = a.compute_metric_from(state)
+                    except Exception as e:  # noqa: BLE001
+                        per[a] = a.to_failure_metric(e)
+                out[key] = per
+            return out

@@ -11,6 +11,73 @@ from hooqu_spark.repository import MetricsRepository
 from hooqu_spark.streaming import StreamingVerification
 
 
+class TestWindowedMetrics:
+    def test_per_window_metrics_with_watermark(self, spark, tmp_path):
+        from datetime import datetime
+
+        from hooqu_spark.streaming import WindowedMetrics
+
+        src = str(tmp_path / "wsrc")
+        chk = str(tmp_path / "wchk")
+
+        def ts(minute, sec=0):
+            return datetime(2024, 1, 1, 10, minute, sec)
+
+        # two 10-minute windows: [10:00, 10:10) and [10:10, 10:20)
+        rows1 = [(ts(1), 1.0), (ts(2), 3.0), (ts(11), 10.0)]
+        spark.createDataFrame(rows1, "ts timestamp, v double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        wm = WindowedMetrics(
+            [Size(), Mean("v"), Completeness("v")],
+            ts_col="ts",
+            window_duration="10 minutes",
+            watermark_delay="5 minutes",
+        )
+        stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+        q = (
+            wm.attach(stream)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        metrics = wm.window_metrics()
+        assert len(metrics) == 2
+        by_start = {k[0].minute: v for k, v in metrics.items()}
+        w0 = {a.name: m.value.get() for a, m in by_start[0].items()}
+        assert w0["Size"] == 2.0
+        assert w0["Mean"] == pytest.approx(2.0)
+        w10 = {a.name: m.value.get() for a, m in by_start[10].items()}
+        assert w10["Size"] == 1.0
+        assert w10["Mean"] == pytest.approx(10.0)
+
+        # second micro-batch: one on-time event updates window 1; one
+        # event far behind the watermark (10:02 while max ts is 10:11,
+        # watermark 5 min) MAY be dropped by the state store — window 0
+        # must NOT regress below its committed value.
+        rows2 = [(ts(12), 20.0), (ts(2), 1000.0)]
+        spark.createDataFrame(rows2, "ts timestamp, v double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema("ts timestamp, v double").parquet(src)
+        q2 = (
+            wm.attach(stream2)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+
+        metrics2 = wm.window_metrics()
+        by_start2 = {k[0].minute: v for k, v in metrics2.items()}
+        w10b = {a.name: m.value.get() for a, m in by_start2[10].items()}
+        assert w10b["Size"] == 2.0
+        assert w10b["Mean"] == pytest.approx(15.0)
+
+
 class TestStreamingVerification:
     def test_incremental_states_match_global(self, spark, tmp_path):
         src = str(tmp_path / "stream_src")
