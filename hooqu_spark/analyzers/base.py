@@ -260,7 +260,18 @@ class ScanShareableAnalyzer(Analyzer):
     def state_from_agg(self, values: Sequence) -> Optional[State]:
         """Build the state from this analyzer's slice of the fused row."""
 
+    def projection_cols(self, df: DataFrame) -> dict:
+        """Derived columns (name -> Column) to project BEFORE the
+        aggregation.  Catalyst does not eliminate common subexpressions
+        across independent aggregate conditions, so an analyzer whose
+        buckets share an expensive classification (e.g. regex chains)
+        computes it once here; ``aggregation_exprs`` then references
+        the named column when present and falls back to the inline
+        expression otherwise (lineage/streaming paths)."""
+        return {}
+
     def compute_state_from(self, data: DataFrame) -> Optional[State]:
+        data = apply_projections(data, [self])
         exprs = self.aggregation_exprs(data)
         row = data.agg(
             *(e.alias(f"_h{i}") for i, e in enumerate(exprs))
@@ -273,3 +284,18 @@ class ScanShareableAnalyzer(Analyzer):
                 state.metric_value(), self.name, self.instance, self.entity
             )
         return metric_from_empty(self, self.name, self.instance, self.entity)
+
+
+def apply_projections(
+    df: DataFrame, analyzers: Sequence["ScanShareableAnalyzer"]
+) -> DataFrame:
+    """Extend ``df`` with every analyzer's shared derived columns
+    (deduplicated by name) so the subsequent fused aggregation
+    evaluates each expensive classification exactly once per row."""
+    proj: dict = {}
+    for a in analyzers:
+        for name, col in a.projection_cols(df).items():
+            proj.setdefault(name, col)
+    if not proj:
+        return df
+    return df.select("*", *(c.alias(n) for n, c in proj.items()))

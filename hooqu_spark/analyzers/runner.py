@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame
 
 from ..metrics import DoubleMetric, Entity, Metric
 from .analyzers import Quantile
-from .base import Analyzer, ScanShareableAnalyzer, find_first_failing
+from .base import (
+    Analyzer,
+    ScanShareableAnalyzer,
+    apply_projections,
+    find_first_failing,
+)
 from .grouping import FrequencyBasedAnalyzer
 
 
@@ -115,12 +120,15 @@ def do_analysis_run(
         else:
             others.append(a)
 
-    # 2. Fused single-scan aggregation.
+    # 2. Fused single-scan aggregation (over shared derived columns —
+    #    expensive per-row classifications evaluated once, see
+    #    ScanShareableAnalyzer.projection_cols).
+    agg_input = apply_projections(data, scan)
     fused: List[Tuple[Analyzer, int, int]] = []  # (analyzer, start, end)
     exprs = []
     for a in scan:
         try:
-            ae = a.aggregation_exprs(data)
+            ae = a.aggregation_exprs(agg_input)
         except Exception as e:  # unresolvable expression -> Failure
             metrics[a] = a.to_failure_metric(e)
             continue
@@ -138,7 +146,7 @@ def do_analysis_run(
 
     if exprs:
         row = list(
-            data.agg(
+            agg_input.agg(
                 *(e.alias(f"_h{i}") for i, e in enumerate(exprs))
             ).first()
         )

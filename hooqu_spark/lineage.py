@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .analyzers.base import Analyzer, ScanShareableAnalyzer
+from .analyzers.base import Analyzer, ScanShareableAnalyzer, apply_projections
 from .metrics import DoubleMetric
 from .states import State, state_from_dict
 
@@ -57,6 +57,7 @@ def compute_partition_states(
     partition_col: str,
 ) -> List[StateRecord]:
     """One groupBy job -> per-bucket states for all analyzers."""
+    df = apply_projections(df, analyzers)
     slices: List[Tuple[ScanShareableAnalyzer, int, int]] = []
     exprs = []
     for a in analyzers:

@@ -28,7 +28,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 
-from .analyzers.base import Analyzer, ScanShareableAnalyzer
+from .analyzers.base import Analyzer, ScanShareableAnalyzer, apply_projections
 from .analyzers.runner import AnalyzerContext
 from .checks import Check
 from .lineage import analyzer_key
@@ -60,6 +60,7 @@ class StreamingVerification:
 
     # -- state folding -------------------------------------------------------
     def _fold_batch(self, batch_df: DataFrame) -> None:
+        batch_df = apply_projections(batch_df, self.analyzers)
         slices = []
         exprs = []
         for a in self.analyzers:
@@ -166,6 +167,7 @@ class WindowedMetrics:
     def _aggregated(self, stream_df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
+        stream_df = apply_projections(stream_df, self.analyzers)
         slices = []
         exprs = []
         for a in self.analyzers:
