@@ -286,6 +286,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    def salted_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Skew-safe two-phase groupBy (hot keys split across salts,
+        # partial counts merged); must equal the plain GROUP BY.
+        from hooqu_spark.ops import salted_counts
+
+        df = _t(spark, sf_dir, "events")
+        return salted_counts(df, ["event_type"], n_salts=16).select(
+            "event_type", F.col("count").alias("n")
+        )
+
     def quality_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Exercises the pipeline's single-pass Arrow UDF (langid +
         # perplexity + heuristics); the SQL-expressible features are
@@ -386,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": token_count_query,
         "language_distribution_documents": lang_distribution_query,
         "quality_features_documents": quality_features_query,
+        "salted_counts_events_type": salted_counts_query,
         "topk_cosine_embeddings": topk_cosine_query,
         "ivf_topk_embeddings": ivf_topk_query,
         "minhash_dedup_documents": minhash_dedup_query,
@@ -537,6 +548,9 @@ def oracle_sql() -> dict[str, str]:
         "language_distribution_documents": (
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
             " ORDER BY lang"
+        ),
+        "salted_counts_events_type": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
         ),
         "quality_features_documents": (
             "SELECT doc_id,"

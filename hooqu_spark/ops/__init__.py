@@ -25,6 +25,12 @@ from .similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from .skew import (
+    salted_agg,
+    salted_counts,
+    salted_numeric_summary,
+    top_hot_keys,
+)
 from .text import (
     document_fingerprints,
     language_distribution,
@@ -46,7 +52,11 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_dedup",
     "quality_features",
+    "salted_agg",
+    "salted_counts",
+    "salted_numeric_summary",
     "simhash_dedup",
     "simhash_signatures",
     "token_counts",
+    "top_hot_keys",
 ]

@@ -1,0 +1,103 @@
+"""Skew-resistant aggregation utilities.
+
+Hot keys (a handful of hosts/domains holding a large share of a
+web-scale corpus) make a plain ``groupBy(key)`` shuffle lopsided: one
+reducer receives the hot key's entire traffic.  The classic fix is
+**salting** — a two-phase aggregation::
+
+    phase 1:  groupBy(key, salt)  -- hot key split across n_salts reducers
+    phase 2:  groupBy(key)        -- tiny table of partial aggregates
+
+which only works for aggregates with a merge step (monoids) — exactly
+the property this engine's metric states already guarantee.
+
+``salted_agg`` takes (partial_expr, merge_expr) pairs; convenience
+wrappers cover the common count/sum/min/max cases.  AQE's skew-join
+splitting handles the join side; this handles the aggregation side.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_hooqu_salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Dict[str, Tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over ``keys`` with a random salt.
+
+    ``aggs`` maps output column name -> ``(partial_expr, merge_expr)``
+    where ``partial_expr`` aggregates raw rows (phase 1) and
+    ``merge_expr`` combines the per-salt partials by the SAME name
+    (phase 2), e.g. ``{"n": (F.count(F.lit(1)), F.sum("n"))}``.
+
+    ``F.rand``-free: the salt is ``pmod(xxhash64(all columns…), n)``
+    — deterministic per row, so retried tasks salt identically
+    (required for exactly-once under speculative execution).
+    """
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    phase1 = (
+        df.withColumn(_SALT, salt)
+        .groupBy(*keys, _SALT)
+        .agg(*(expr.alias(name) for name, (expr, _) in aggs.items()))
+    )
+    return phase1.groupBy(*keys).agg(
+        *(merge.alias(name) for name, (_, merge) in aggs.items())
+    )
+
+
+def salted_counts(
+    df: DataFrame, keys: Sequence[str], n_salts: int = 16
+) -> DataFrame:
+    """Skew-safe ``groupBy(keys).count()`` (column name ``count``)."""
+    return salted_agg(
+        df,
+        keys,
+        {"count": (F.count(F.lit(1)), F.sum("count"))},
+        n_salts,
+    )
+
+
+def salted_numeric_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe per-key count/sum/min/max/mean of ``value_col``.
+
+    Mean merges as (Σ partial sums)/(Σ partial counts) — the same
+    MeanState monoid the metric layer uses."""
+    c = F.col(value_col)
+    out = salted_agg(
+        df,
+        keys,
+        {
+            "n": (F.count(c), F.sum("n")),
+            "sum": (F.sum(c), F.sum("sum")),
+            "min": (F.min(c), F.min("min")),
+            "max": (F.max(c), F.max("max")),
+        },
+        n_salts,
+    )
+    return out.withColumn("mean", F.col("sum") / F.col("n"))
+
+
+def top_hot_keys(
+    df: DataFrame, keys: Sequence[str], k: int = 20, n_salts: int = 16
+) -> DataFrame:
+    """The k heaviest key groups (skew diagnosis), computed skew-safely."""
+    return (
+        salted_counts(df, keys, n_salts)
+        .orderBy(F.desc("count"), *list(keys))
+        .limit(k)
+    )
