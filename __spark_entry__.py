@@ -286,6 +286,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    def profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Column profiler (single fused scan); the SQL-expressible
+        # fields are oracle-checked per column.
+        from hooqu_spark.profiler import profile_columns
+
+        df = _t(spark, sf_dir, "orders")
+        cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+        profiles = profile_columns(df, cols, with_histograms=False)
+        rows = [
+            (
+                c,
+                float(p.completeness),
+                None if p.minimum is None else round(p.minimum, 6),
+                None if p.maximum is None else round(p.maximum, 6),
+            )
+            for c, p in profiles.items()
+        ]
+        return spark.createDataFrame(
+            rows, "column string, completeness double, min_v double, max_v double"
+        )
+
     def salted_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Skew-safe two-phase groupBy (hot keys split across salts,
         # partial counts merged); must equal the plain GROUP BY.
@@ -395,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_query,
         "token_count_documents": token_count_query,
         "language_distribution_documents": lang_distribution_query,
+        "profile_columns_orders": profile_query,
         "quality_features_documents": quality_features_query,
         "salted_counts_events_type": salted_counts_query,
         "topk_cosine_embeddings": topk_cosine_query,
@@ -551,6 +573,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "salted_counts_events_type": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "profile_columns_orders": (
+            "SELECT 'o_orderkey' AS column,"
+            " CAST(count(o_orderkey) AS DOUBLE)/count(*) AS completeness,"
+            " round(CAST(min(o_orderkey) AS DOUBLE), 6) AS min_v,"
+            " round(CAST(max(o_orderkey) AS DOUBLE), 6) AS max_v FROM orders"
+            " UNION ALL SELECT 'o_custkey',"
+            " CAST(count(o_custkey) AS DOUBLE)/count(*),"
+            " round(CAST(min(o_custkey) AS DOUBLE), 6),"
+            " round(CAST(max(o_custkey) AS DOUBLE), 6) FROM orders"
+            " UNION ALL SELECT 'o_totalprice',"
+            " CAST(count(o_totalprice) AS DOUBLE)/count(*),"
+            " round(CAST(min(o_totalprice) AS DOUBLE), 6),"
+            " round(CAST(max(o_totalprice) AS DOUBLE), 6) FROM orders"
+            " UNION ALL SELECT 'o_orderstatus',"
+            " CAST(count(o_orderstatus) AS DOUBLE)/count(*),"
+            " NULL, NULL FROM orders"
         ),
         "quality_features_documents": (
             "SELECT doc_id,"
