@@ -331,6 +331,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_words").cast("long").alias("n_words"),
         )
 
+    def langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Predicted language (lexicon scorer inside the single-pass
+        # Arrow UDF; fastText-compatible interface) — the model is not
+        # SQL-expressible -> rows-only check.
+        from hooqu_spark.pipeline.core import enrich
+
+        df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return enrich(df).select("doc_id", "lang_pred", "lang_score")
+
+    def near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # LSH-bucketed embedding near-duplicate pairs (deterministic
+        # seeded planes; approximate recall) -> rows-only check.
+        from hooqu_spark.ops import embedding_near_duplicates
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "e", F.col("embedding").cast("array<double>")
+        )
+        return embedding_near_duplicates(
+            emb, id_col="vec_id", vec_col="e", threshold=0.3, n_planes=3
+        ).select("id_a", "id_b")
+
     def fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # xxhash64 fingerprints are JVM-specific -> rows-only check.
         from hooqu_spark.ops import document_fingerprints
@@ -425,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures_documents": simhash_query,
         "fingerprints_documents": fingerprints_query,
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
+        "langid_documents": langid_query,
+        "near_dup_pairs_embeddings": near_dup_pairs_query,
     }
 
 
