@@ -52,6 +52,14 @@ from .spec import (
 _BULLETS = ("-", "*", "•")
 _ELLIPSES = ("...", "…")
 _ALPHA_RE = re.compile(r"[^\W\d_]")  # any letter (same class reference_impl uses)
+# One findall counts the tokens containing a letter in a single C-level
+# pass: \S cannot cross whitespace, so each match is exactly one
+# whitespace-delimited token that contains a letter — equivalent to
+# `sum(1 for w in text.split() if _ALPHA_RE.search(w))` for the
+# corpus's whitespace (str.split() additionally treats \x1c-\x1f as
+# separators, which never occur here; parity vs reference_impl is
+# asserted corpus-wide in tests).
+_ALPHA_WORD_RE = re.compile(r"\S*[^\W\d_]\S*")
 _SURPRISAL_MOD = int(SURPRISAL_SPREAD * 1000)
 
 # word -> bitmask of languages whose lexicon contains it (one dict
@@ -72,32 +80,43 @@ def compute_doc_features(text: str) -> Dict[str, object]:
     lines = text.split("\n")
     n_lines = len(lines)
 
+    text_lower = text.lower()
     if n_words:
-        lowered = [w.lower() for w in words]
+        # lowercase the whole text once (C-level) instead of per word;
+        # str.lower maps non-whitespace to non-whitespace, so the split
+        # boundaries — and therefore the per-word lowered list — are
+        # identical to [w.lower() for w in words]
+        lowered = text_lower.split()
         mask_get = _WORD_LANG_MASK.get
 
         mean_wl = sum(map(len, words)) / n_words
         symbol_ratio = (text.count("#") + text.count("...")) / n_words
-        search = _ALPHA_RE.search
-        alpha_frac = sum(1 for w in words if search(w)) / n_words
-        stop_frac = sum(1 for w in lowered if w in EN_STOPWORDS) / n_words
+        alpha_frac = len(_ALPHA_WORD_RE.findall(text)) / n_words
 
-        # language scores + perplexity share one lookup per token
+        # language scores + perplexity + stopword fraction share one
+        # lookup per UNIQUE token (counts act as weights) — real text
+        # repeats words, so this shrinks the Python loop by the
+        # duplication factor
+        word_counts = Counter(lowered)
+        stop_frac = (
+            sum(c for w, c in word_counts.items() if w in EN_STOPWORDS)
+            / n_words
+        )
         lang_counts = [0] * len(LANGS)
         surprisal_total = 0.0
-        for w in lowered:
+        for w, c in word_counts.items():
             m = mask_get(w)
             if m is None:
-                surprisal_total += (
+                surprisal_total += c * (
                     SURPRISAL_BASE
                     + (zlib.crc32(w.encode("utf-8")) % _SURPRISAL_MOD) / 1000.0
                 )
             else:
-                surprisal_total += SURPRISAL_COMMON
+                surprisal_total += c * SURPRISAL_COMMON
                 i = 0
                 while m:
                     if m & 1:
-                        lang_counts[i] += 1
+                        lang_counts[i] += c
                     m >>= 1
                     i += 1
         log_ppl = surprisal_total / n_words
@@ -137,7 +156,7 @@ def compute_doc_features(text: str) -> Dict[str, object]:
     else:
         dup5 = 0.0
 
-    scrubbed, n_emails, n_ccs, n_toxic = scrub_text(text)
+    scrubbed, n_emails, n_ccs, n_toxic = scrub_text(text, _lowered=text_lower)
 
     return {
         "n_chars": len(text),

@@ -31,13 +31,29 @@ TOXIC_RE = re.compile(
 
 # Prechecks provably implied by the patterns (pure fast-path, cannot
 # change results): EMAIL requires a literal '@'; both CREDITCARD
-# branches start with four consecutive digits.
+# branches start with four consecutive digits; a \b-bounded
+# case-insensitive toxic-word match implies plain substring presence
+# in the lowercased text (C-level memmem scans beat re's alternation).
 _CC_PRECHECK = re.compile(r"\d{4}")
+_TOXIC_LOWER = tuple(w.lower() for w in TOXIC_WORDS)
+
+# The toxic precheck runs against the ORIGINAL text while the subn runs
+# on the email/cc-scrubbed text — sound only if replacement tokens
+# cannot introduce a toxic word.  Enforce that at import time.
+for _tok in (SCRUB_EMAIL_TOKEN, SCRUB_CREDITCARD_TOKEN):
+    assert not any(w in _tok.lower() for w in _TOXIC_LOWER), (
+        "scrub replacement token contains a toxic word; "
+        "the precheck in scrub_text would be unsound"
+    )
 
 
-def scrub_text(text: str) -> Tuple[str, int, int, int]:
-    """Return (scrubbed_text, n_emails, n_creditcards, n_toxic)."""
-    n_emails = n_ccs = 0
+def scrub_text(text: str, _lowered: str = None) -> Tuple[str, int, int, int]:
+    """Return (scrubbed_text, n_emails, n_creditcards, n_toxic).
+
+    ``_lowered`` optionally passes an already-computed ``text.lower()``
+    (the feature kernel has one) to avoid recomputing it for the
+    toxic-word precheck."""
+    n_emails = n_ccs = n_toxic = 0
     scrubbed = text
     if "@" in text:
         scrubbed, n_emails = patterns.EMAIL.subn(SCRUB_EMAIL_TOKEN, scrubbed)
@@ -45,5 +61,7 @@ def scrub_text(text: str) -> Tuple[str, int, int, int]:
         scrubbed, n_ccs = patterns.CREDITCARD.subn(
             SCRUB_CREDITCARD_TOKEN, scrubbed
         )
-    scrubbed, n_toxic = TOXIC_RE.subn(SCRUB_TOXIC_TOKEN, scrubbed)
+    tl = _lowered if _lowered is not None else text.lower()
+    if any(w in tl for w in _TOXIC_LOWER):
+        scrubbed, n_toxic = TOXIC_RE.subn(SCRUB_TOXIC_TOKEN, scrubbed)
     return scrubbed, n_emails, n_ccs, n_toxic
