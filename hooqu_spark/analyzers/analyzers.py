@@ -10,7 +10,7 @@ vectorized Arrow UDF only where Python-regex parity demands it.
 from __future__ import annotations
 
 import re
-from typing import Callable, List, Optional, Pattern, Sequence, Union
+from typing import Callable, List, Optional, Pattern, Sequence, Tuple, Union
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -238,15 +238,35 @@ class Quantile(ScanShareableAnalyzer):
         cond = where_cond(self.where)
         return [F.count(gated(nan_safe_col(df, self.instance), cond))]
 
-    def phase2_exprs(self, df: DataFrame, n: int) -> List[Column]:
+    def _gated_col(self, df: DataFrame) -> Column:
         cond = where_cond(self.where)
-        col = gated(nan_safe_col(df, self.instance), cond)
+        return gated(nan_safe_col(df, self.instance), cond).cast("double")
+
+    def _adjusted_fraction(self, n: int) -> float:
         if n <= 1:
-            q_adj = 0.0
-        else:
-            k = round(self.quantile * (n - 1))  # banker's rounding = pandas 'nearest'
-            q_adj = _exact_rank_fraction(k, n - 1)
-        return [F.percentile(col.cast("double"), F.lit(q_adj))]
+            return 0.0
+        k = round(self.quantile * (n - 1))  # banker's rounding = pandas 'nearest'
+        return _exact_rank_fraction(k, n - 1)
+
+    def phase2_exprs(self, df: DataFrame, n: int) -> List[Column]:
+        return [
+            F.percentile(self._gated_col(df), F.lit(self._adjusted_fraction(n)))
+        ]
+
+    @staticmethod
+    def fused_phase2_expr(
+        df: DataFrame, group: "List[Tuple[Quantile, int]]"
+    ) -> Column:
+        """ONE ``percentile(col, array(q1..qk))`` for every exact
+        quantile sharing a (column, where) pair — a single sort buffer
+        per group instead of one per quantile (Spark's exact
+        ``percentile`` buffers all values; k quantiles on one column
+        would otherwise cost k buffers of the whole column)."""
+        first = group[0][0]
+        fracs = F.array(
+            *[F.lit(q._adjusted_fraction(n)) for q, n in group]
+        )
+        return F.percentile(first._gated_col(df), fracs)
 
     def state_from_phases(self, n: int, value) -> Optional[State]:
         if n == 0:

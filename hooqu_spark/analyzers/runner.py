@@ -157,9 +157,13 @@ def do_analysis_run(
             except Exception as e:  # noqa: BLE001
                 metrics[a] = a.to_failure_metric(e)
 
-        # 3. Exact quantiles: phase 2 (one more fused job).
-        live_q: List[Tuple[Quantile, int, int]] = []
-        q_exprs = []
+        # 3. Exact quantiles: phase 2 (one more fused job).  Quantiles
+        #    sharing a (column, where) pair fuse into ONE
+        #    percentile(col, array(q1..qk)) — a single sort buffer per
+        #    group instead of one full-column buffer per quantile.
+        by_col: Dict[
+            Tuple[str, Optional[str]], List[Tuple[Quantile, int]]
+        ] = {}
         for q, off in q_offsets:
             n = int(row[off] or 0)
             if n == 0:
@@ -168,21 +172,25 @@ def do_analysis_run(
                 except Exception as e:  # noqa: BLE001
                     metrics[q] = q.to_failure_metric(e)
                 continue
-            qe = q.phase2_exprs(data, n)
-            live_q.append((q, n, len(q_exprs)))
-            q_exprs.extend(qe)
-        if q_exprs:
+            by_col.setdefault((q.instance, q.where), []).append((q, n))
+        groups = list(by_col.values())
+        if groups:
             q_row = list(
                 data.agg(
-                    *(e.alias(f"_q{i}") for i, e in enumerate(q_exprs))
+                    *(
+                        Quantile.fused_phase2_expr(data, g).alias(f"_q{i}")
+                        for i, g in enumerate(groups)
+                    )
                 ).first()
             )
-            for q, n, off in live_q:
-                try:
-                    state = q.state_from_phases(n, q_row[off])
-                    metrics[q] = q.compute_metric_from(state)
-                except Exception as e:  # noqa: BLE001
-                    metrics[q] = q.to_failure_metric(e)
+            for g, values in zip(groups, q_row):
+                for j, (q, n) in enumerate(g):
+                    try:
+                        value = None if values is None else values[j]
+                        state = q.state_from_phases(n, value)
+                        metrics[q] = q.compute_metric_from(state)
+                    except Exception as e:  # noqa: BLE001
+                        metrics[q] = q.to_failure_metric(e)
 
     # 4. Grouping analyzers: one groupBy job per (columns, where) pair,
     #    shared across all frequency-based analyzers on that pair.
