@@ -328,6 +328,47 @@ class TestIvfTopk:
         }
         assert len(approx & exact) >= 7  # recall@10 >= 0.7 at half probing
 
+    def test_multiprobe_improves_recall(self, spark):
+        from hooqu_spark.ops import brute_force_topk
+        from hooqu_spark.ops.similarity import lsh_bucketed_topk
+
+        rng = np.random.RandomState(3)
+        mat = rng.standard_normal((400, 16))
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(400)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = mat[9].tolist()
+        exact = {r["vec_id"] for r in brute_force_topk(vecs, q, k=10).collect()}
+
+        def recall(n_probes):
+            got = {
+                r["vec_id"]
+                for r in lsh_bucketed_topk(
+                    vecs, q, k=10, n_planes=8, n_probes=n_probes
+                ).collect()
+            }
+            return len(got & exact)
+
+        # recall is monotone in probes and substantial at 64/256 buckets
+        r1, r8, r64 = recall(1), recall(8), recall(64)
+        assert r1 <= r8 <= r64
+        assert r64 >= 5
+
+    def test_multiprobe_bucket_enumeration(self):
+        from hooqu_spark.ops.similarity import (
+            _multiprobe_buckets,
+            _projection_planes,
+        )
+
+        q = np.ones(16)
+        planes = _projection_planes(16, 8, seed=13)
+        probes = _multiprobe_buckets(q, planes, 6)
+        assert len(probes) == 6
+        assert len(set(probes)) == 6  # distinct codes
+        # first entry is always the query's own bucket
+        weights = 1 << np.arange(8, dtype=np.int64)
+        base = int((((q @ planes) > 0) * weights).sum())
+        assert probes[0] == base
+
     def test_full_probe_is_exact(self, spark):
         from hooqu_spark.ops import brute_force_topk, ivf_topk
 
