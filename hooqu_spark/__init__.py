@@ -32,6 +32,7 @@ from .profiler import (
     suggested_check,
 )
 from .repository import MetricsRepository
+from .streaming import StreamingVerification, WindowedMetrics
 from .verification_suite import (
     VerificationResult,
     VerificationRunBuilder,
@@ -50,6 +51,8 @@ __all__ = [
     "MetricsRepository",
     "RelativeRateOfChangeStrategy",
     "SimpleThresholdStrategy",
+    "StreamingVerification",
+    "WindowedMetrics",
     "detect_anomaly",
     "profile_columns",
     "run_with_anomaly_checks",

@@ -245,6 +245,23 @@ class TestRunnerFusionWithExtensions:
         assert values["MutualInformation"].value.isSuccess
         assert values["Entropy"].value.isSuccess
 
+    def test_where_on_extension_methods(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1.0, "a"), (2.0, 2.0, "a"), (3.0, -99.0, "b")],
+            "x double, y double, g string",
+        )
+        result = (
+            VerificationSuite()
+            .on_data(df)
+            .add_check(
+                Check(CheckLevel.ERROR, "filtered extension")
+                .has_correlation("x", "y", lambda v: v > 0.99)
+                .where("g == 'a'")
+            )
+            .run()
+        )
+        assert result.status == CheckStatus.SUCCESS
+
     def test_check_methods(self, spark):
         df = spark.createDataFrame(
             [
