@@ -307,6 +307,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "column string, completeness double, min_v double, max_v double"
         )
 
+    def numeric_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark import numeric_histogram
+
+        df = _t(spark, sf_dir, "lineitem")
+        out = numeric_histogram(df, "l_extendedprice", n_bins=10)
+        return out.select(
+            "bin",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            "count",
+        )
+
     def salted_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Skew-safe two-phase groupBy (hot keys split across salts,
         # partial counts merged); must equal the plain GROUP BY.
@@ -438,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": token_count_query,
         "language_distribution_documents": lang_distribution_query,
         "profile_columns_orders": profile_query,
+        "numeric_histogram_lineitem_price": numeric_histogram_query,
         "quality_features_documents": quality_features_query,
         "salted_counts_events_type": salted_counts_query,
         "topk_cosine_embeddings": topk_cosine_query,
@@ -596,6 +609,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "salted_counts_events_type": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "numeric_histogram_lineitem_price": (
+            "WITH b AS (SELECT min(l_extendedprice) lo,"
+            " (max(l_extendedprice) - min(l_extendedprice)) / 10 w"
+            " FROM lineitem)"
+            " SELECT CAST(LEAST(floor((l_extendedprice - b.lo) / b.w), 9)"
+            " AS INT) AS bin,"
+            " round(b.lo + LEAST(floor((l_extendedprice - b.lo) / b.w), 9)"
+            " * b.w, 6) AS lo,"
+            " round(b.lo + (LEAST(floor((l_extendedprice - b.lo) / b.w), 9)"
+            " + 1) * b.w, 6) AS hi,"
+            " count(*) AS count FROM lineitem, b"
+            " WHERE l_extendedprice IS NOT NULL"
+            " GROUP BY 1, 2, 3 ORDER BY bin"
         ),
         "profile_columns_orders": (
             "SELECT 'o_orderkey' AS column,"

@@ -27,6 +27,7 @@ from .metrics import DoubleMetric, Entity, Failure, Metric, Success
 from .profiler import (
     ColumnProfile,
     ConstraintSuggestion,
+    numeric_histogram,
     profile_columns,
     suggest_constraints,
     suggested_check,
@@ -54,6 +55,7 @@ __all__ = [
     "StreamingVerification",
     "WindowedMetrics",
     "detect_anomaly",
+    "numeric_histogram",
     "profile_columns",
     "run_with_anomaly_checks",
     "suggest_constraints",

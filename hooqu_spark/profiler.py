@@ -177,6 +177,50 @@ def profile_columns(
     return profiles
 
 
+def numeric_histogram(
+    df: DataFrame, column: str, n_bins: int = 20
+) -> DataFrame:
+    """Equal-width binned histogram of a numeric column:
+    ``(bin, lo, hi, count)`` with ``bin`` in [0, n_bins).
+
+    Two cheap phases: a min/max agg (tiny), then one hash-aggregate
+    groupBy on the computed bin index — both single-scan, shuffle only
+    of n_bins aggregate rows.  The max value lands in the last bin
+    (half-open bins except the final one, matching numpy.histogram).
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.min(F.col(column).cast("double")).alias("lo"),
+        F.max(F.col(column).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin int, lo double, hi double, count long"
+        )
+    if hi == lo:
+        hi = lo + 1.0  # single-valued column -> everything in bin 0
+    width = (hi - lo) / n_bins
+    v = F.col(column).cast("double")
+    bin_col = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "count",
+        )
+        .orderBy("bin")
+    )
+
+
 @dataclass(frozen=True)
 class ConstraintSuggestion:
     column: str

@@ -62,6 +62,37 @@ class TestProfileColumns:
         assert p.histogram is None
 
 
+class TestNumericHistogram:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from hooqu_spark import numeric_histogram
+
+        rng = np.random.RandomState(5)
+        vals = rng.uniform(-3.0, 7.0, 500)
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        rows = numeric_histogram(df, "v", n_bins=10).collect()
+        want, edges = np.histogram(vals, bins=10, range=(vals.min(), vals.max()))
+        got = {r["bin"]: r["count"] for r in rows}
+        for i, w in enumerate(want):
+            assert got.get(i, 0) == w, (i, got.get(i, 0), w)
+        assert rows[0]["lo"] == pytest.approx(float(edges[0]))
+        assert rows[-1]["hi"] == pytest.approx(float(edges[-1]))
+
+    def test_constant_column(self, spark):
+        from hooqu_spark import numeric_histogram
+
+        df = spark.createDataFrame([(5.0,)] * 7, "v double")
+        rows = numeric_histogram(df, "v", n_bins=4).collect()
+        assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["count"] == 7
+
+    def test_all_null(self, spark):
+        from hooqu_spark import numeric_histogram
+
+        df = spark.createDataFrame([(None,), (None,)], "v double")
+        assert numeric_histogram(df, "v").count() == 0
+
+
 class TestSuggestions:
     def test_suggestions_cover_expected_rules(self, df_profiling):
         profiles = profile_columns(df_profiling)
