@@ -38,6 +38,7 @@ from .constraints import (
     ConstraintStatus,
     approx_count_distinct_constraint,
     completeness_constraint,
+    count_distinct_constraint,
     compliance_constraint,
     correlation_constraint,
     data_type_constraint,
@@ -364,6 +365,48 @@ class Check:
         )
 
     # -- Deequ-style extensions (no reference equivalent) ----------------------
+    def are_complete(
+        self, columns: Sequence[str], hint: Optional[str] = None
+    ) -> "CheckWithLastConstraintFilterable":
+        """Every listed column is non-null in every row (one compliance
+        predicate, one conditional aggregate in the fused scan)."""
+        predicate = " and ".join(f"`{c}`.notna()" for c in columns)
+        name = f"areComplete({','.join(columns)})"
+        return self.satisfies(predicate, name, is_one, hint=hint)
+
+    def have_completeness(
+        self,
+        columns: Sequence[str],
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        """Fraction of rows where every listed column is non-null."""
+        predicate = " and ".join(f"`{c}`.notna()" for c in columns)
+        name = f"haveCompleteness({','.join(columns)})"
+        return self.satisfies(predicate, name, assertion, hint=hint)
+
+    def has_number_of_distinct_values(
+        self,
+        column: str,
+        assertion: Callable[[float], bool],
+        hint: Optional[str] = None,
+    ) -> "CheckWithLastConstraintFilterable":
+        return self._add_filterable_constraint(
+            lambda filter_: count_distinct_constraint(
+                [column], assertion, filter_, hint
+            )
+        )
+
+    def is_primary_key(
+        self, column: str, *other_columns: str, hint: Optional[str] = None
+    ) -> "CheckWithLastConstraintFilterable":
+        """Columns jointly unique AND each individually complete."""
+        cols = [column, *other_columns]
+        check = self
+        for c in cols:
+            check = check.is_complete(c, hint=hint)
+        return check.has_uniqueness(cols, is_one, hint=hint)
+
     def has_distinctness(
         self,
         columns: Union[Sequence[str], str],

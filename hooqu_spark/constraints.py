@@ -19,6 +19,7 @@ from .analyzers import (
     ApproxCountDistinct,
     Completeness,
     Compliance,
+    CountDistinct,
     Correlation,
     DataTypeHistogram,
     Distinctness,
@@ -369,6 +370,9 @@ def _grouping_constraint(analyzer_cls, label: str):
 
 distinctness_constraint = _grouping_constraint(
     Distinctness, "DistinctnessConstraint"
+)
+count_distinct_constraint = _grouping_constraint(
+    CountDistinct, "CountDistinctConstraint"
 )
 unique_value_ratio_constraint = _grouping_constraint(
     UniqueValueRatio, "UniqueValueRatioConstraint"

@@ -245,6 +245,51 @@ class TestRunnerFusionWithExtensions:
         assert values["MutualInformation"].value.isSuccess
         assert values["Entropy"].value.isSuccess
 
+    def test_composite_check_methods(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)],
+            "id long, name string, score double",
+        )
+        result = (
+            VerificationSuite()
+            .on_data(df)
+            .add_check(
+                Check(CheckLevel.ERROR, "composite")
+                .is_primary_key("id")
+                .are_complete(["id", "name"])
+                .have_completeness(["id", "score"], lambda v: v >= 0.6)
+                .has_number_of_distinct_values("name", lambda v: v == 3)
+            )
+            .run()
+        )
+        assert result.status == CheckStatus.SUCCESS
+
+    def test_is_primary_key_fails_on_duplicates(self, spark):
+        df = spark.createDataFrame([(1,), (1,), (2,)], "id long")
+        result = (
+            VerificationSuite()
+            .on_data(df)
+            .add_check(
+                Check(CheckLevel.ERROR, "pk").is_primary_key("id")
+            )
+            .run()
+        )
+        assert result.status == CheckStatus.ERROR
+
+    def test_are_complete_fails_on_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "id long, name string"
+        )
+        result = (
+            VerificationSuite()
+            .on_data(df)
+            .add_check(
+                Check(CheckLevel.ERROR, "c").are_complete(["id", "name"])
+            )
+            .run()
+        )
+        assert result.status == CheckStatus.ERROR
+
     def test_where_on_extension_methods(self, spark):
         df = spark.createDataFrame(
             [(1.0, 1.0, "a"), (2.0, 2.0, "a"), (3.0, -99.0, "b")],
