@@ -10,6 +10,8 @@ on bucketed candidate keys (never all-pairs).
 """
 
 from .dedup import (
+    dedup_by_clusters,
+    duplicate_clusters,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,
@@ -41,7 +43,9 @@ from .text import (
 __all__ = [
     "brute_force_topk",
     "cosine_scores",
+    "dedup_by_clusters",
     "document_fingerprints",
+    "duplicate_clusters",
     "embedding_near_duplicates",
     "exact_dedup",
     "ivf_topk",

@@ -269,6 +269,85 @@ def simhash_dedup(
 # n-gram Jaccard (exact verify inside LSH buckets)
 # ---------------------------------------------------------------------------
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Transitive duplicate clusters from a pair list: connected
+    components by iterative min-label propagation — every round is one
+    join + one groupBy over the label table, no driver-side graph.
+
+    Returns ``(id, cluster)`` where ``cluster`` is the smallest id in
+    the component.  Pairwise dedup (drop the larger of each pair)
+    under-merges chains A~B~C; this collapses the whole chain to its
+    min id even when A is not directly similar to C.
+
+    Rounds needed = component diameter; near-duplicate clusters are
+    shallow, so this converges in a handful of rounds (early-stops when
+    labels are stable).  For adversarially long chains at 10^12 scale,
+    switch to the O(log n) alternating large-star/small-star scheme
+    (Kiveris et al., SoCC'14) — same join-only building blocks.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy(sym["u"].alias("id"))
+            .agg(F.min("cluster").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("n_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        stable = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .isEmpty()
+        )
+        # truncate lineage each round or the plan grows exponentially
+        labels = new_labels.localCheckpoint()
+        if stable:
+            break
+    return labels
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (smallest id) per transitive duplicate
+    cluster; rows not in any pair survive untouched."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     id_col: str,

@@ -11,6 +11,51 @@ from hooqu_spark.ops import (
 )
 
 
+class TestDuplicateClusters:
+    def test_chain_collapses_transitively(self, spark):
+        from hooqu_spark.ops import duplicate_clusters
+
+        # chain 1~2~3~4 plus isolated pair 10~11: pairwise dedup would
+        # under-merge the chain; CC collapses it all to min id 1
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_dedup_by_clusters_keeps_one_per_component(self, spark):
+        from hooqu_spark.ops import dedup_by_clusters
+
+        df = spark.createDataFrame(
+            [(i, f"doc{i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        kept = {
+            r["doc_id"]
+            for r in dedup_by_clusters(df, pairs, "doc_id").collect()
+        }
+        assert kept == {1, 10, 99}  # one survivor per cluster + untouched
+
+    def test_merging_components(self, spark):
+        from hooqu_spark.ops import duplicate_clusters
+
+        # two stars joined by a bridge edge -> single component
+        pairs = spark.createDataFrame(
+            [(5, 6), (5, 7), (20, 21), (20, 22), (7, 22)],
+            "id_a long, id_b long",
+        )
+        got = {
+            r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()
+        }
+        assert set(got.values()) == {5}
+        assert set(got) == {5, 6, 7, 20, 21, 22}
+
+
 @pytest.fixture(scope="module")
 def skewed(spark):
     # one hot key holding 80% of rows + a long tail
