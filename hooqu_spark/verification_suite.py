@@ -31,6 +31,8 @@ class VerificationRunBuilder:
         self.data = data
         self._checks: List[Check] = []
         self._required_analyzers: Optional[Tuple[Analyzer, ...]] = None
+        self._repository = None
+        self._repository_tag: Optional[str] = None
 
     def add_check(self, check: Check) -> "VerificationRunBuilder":
         self._checks.append(check)
@@ -46,10 +48,24 @@ class VerificationRunBuilder:
         self._required_analyzers = tuple(analyzers)
         return self
 
+    def use_repository(
+        self, repository, tag: str = "default"
+    ) -> "VerificationRunBuilder":
+        """Append this run's metrics to a ``MetricsRepository`` under
+        ``tag`` after evaluation (Deequ's ``useRepository()
+        .saveOrAppendResult()``) — enabling regression tracking and
+        anomaly checks over run history."""
+        self._repository = repository
+        self._repository_tag = tag
+        return self
+
     def run(self) -> VerificationResult:
-        return VerificationSuite().do_verification_run(
+        result = VerificationSuite().do_verification_run(
             self.data, self._checks, self._required_analyzers
         )
+        if self._repository is not None:
+            self._repository.save(self._repository_tag, dict(result.metrics))
+        return result
 
 
 class VerificationSuite:

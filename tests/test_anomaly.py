@@ -104,6 +104,25 @@ class TestRunWithAnomalyChecks:
         result = run_with_anomaly_checks(df, [], [ac], repo, tag="w")
         assert result.status == CheckStatus.WARNING
 
+    def test_use_repository_on_run_builder(self, spark, tmp_path):
+        from hooqu_spark import VerificationSuite
+
+        repo = MetricsRepository(str(tmp_path))
+        df = spark.createDataFrame([(1.0,), (3.0,)], "v double")
+        check = Check(CheckLevel.ERROR, "r").has_mean("v", lambda m: m == 2.0)
+        for _ in range(2):
+            result = (
+                VerificationSuite()
+                .on_data(df)
+                .add_check(check)
+                .use_repository(repo, tag="series")
+                .run()
+            )
+            assert result.status == CheckStatus.SUCCESS
+        series = repo.diff("series", "Mean", "v")
+        assert series["value"].tolist() == [2.0, 2.0]
+        assert series["seq"].tolist() == [0, 1]
+
     def test_failed_metric_is_failure(self, spark, tmp_path):
         repo = MetricsRepository(str(tmp_path))
         df = spark.createDataFrame([("a",)], "v string")
