@@ -172,6 +172,51 @@ def main() -> None:
 
     queries["topk_cosine_embeddings"] = timed(q_topk)
 
+    # -- headline 6: extension analyzers (correlation + MI + histograms) ----
+    def q_extensions():
+        from hooqu_spark.analyzers import (
+            Correlation,
+            DataTypeHistogram,
+            Entropy,
+            Histogram,
+            MutualInformation,
+            do_analysis_run,
+        )
+
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        do_analysis_run(
+            lineitem,
+            [
+                Correlation("l_quantity", "l_extendedprice"),
+                MutualInformation(["l_returnflag", "l_linestatus"]),
+                Histogram("l_returnflag"),
+                Entropy(["l_returnflag"]),
+                DataTypeHistogram("l_linestatus"),
+            ],
+        )
+
+    q_extensions()  # warm (codegen, window/percentile classes)
+    queries["extension_analyzers_lineitem"] = timed(q_extensions)
+
+    # -- headline 7: column profiler (fused pass + histograms) --------------
+    def q_profile():
+        from hooqu_spark.profiler import profile_columns
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        profile_columns(orders)
+
+    q_profile()  # warm
+    queries["profile_columns_orders"] = timed(q_profile)
+
+    # -- headline 8: skew-safe salted aggregation ---------------------------
+    def q_salted():
+        from hooqu_spark.ops import salted_counts
+
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        salted_counts(lineitem, ["l_returnflag"], n_salts=32).collect()
+
+    queries["salted_counts_lineitem"] = timed(q_salted)
+
     spark.stop()
 
     # -- scaling evidence: identical job on an 8-CPU vs 32-CPU "machine" ----
