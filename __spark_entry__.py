@@ -307,6 +307,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "column string, completeness double, min_v double, max_v double"
         )
 
+    def custom_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import CustomSql
+
+        df = _t(spark, sf_dir, "lineitem")
+        value = (
+            CustomSql(
+                "max(l_extendedprice) - min(l_extendedprice)",
+                instance="price_range",
+            )
+            .calculate(df)
+            .value.get()
+        )
+        return spark.createDataFrame([(round(value, 6),)], "price_range double")
+
+    def metrics_by_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hooqu_spark.analyzers import Mean, Size
+        from hooqu_spark.lineage import metrics_by_group
+
+        df = _t(spark, sf_dir, "lineitem")
+        per = metrics_by_group(df, [Size(), Mean("l_quantity")], "l_returnflag")
+        rows = []
+        for group, metrics in per.items():
+            by_name = {m.name: m.value.get() for m in metrics.values()}
+            rows.append(
+                (group, float(by_name["Size"]), round(by_name["Mean"], 6))
+            )
+        return spark.createDataFrame(
+            rows, "l_returnflag string, n double, mean_qty double"
+        )
+
     def numeric_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hooqu_spark import numeric_histogram
 
@@ -451,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_distribution_documents": lang_distribution_query,
         "profile_columns_orders": profile_query,
         "numeric_histogram_lineitem_price": numeric_histogram_query,
+        "custom_sql_price_range": custom_sql_query,
+        "metrics_by_group_returnflag": metrics_by_group_query,
         "quality_features_documents": quality_features_query,
         "salted_counts_events_type": salted_counts_query,
         "topk_cosine_embeddings": topk_cosine_query,
@@ -609,6 +641,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "salted_counts_events_type": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "custom_sql_price_range": (
+            "SELECT round(max(l_extendedprice) - min(l_extendedprice), 6)"
+            " AS price_range FROM lineitem"
+        ),
+        "metrics_by_group_returnflag": (
+            "SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,"
+            " round(avg(l_quantity), 6) AS mean_qty FROM lineitem"
+            " WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag"
         ),
         "numeric_histogram_lineitem_price": (
             "WITH b AS (SELECT min(l_extendedprice) lo,"

@@ -584,6 +584,53 @@ class DataTypeHistogram(ScanShareableAnalyzer):
         return DataTypeHistogramState(*(int(v or 0) for v in values[:5]))
 
 
+class CustomSql(ScanShareableAnalyzer):
+    """Arbitrary scalar SQL aggregate expression as a metric (Deequ's
+    ``CustomSql`` analyzer; no reference equivalent) — e.g.
+    ``CustomSql("max(price) - min(price)", instance="price_range")``.
+    Fuses into the shared single-scan aggregation like any other
+    analyzer; the expression must be a Spark SQL aggregate producing
+    one numeric value."""
+
+    def __init__(
+        self,
+        expression: str,
+        instance: Optional[str] = None,
+        where: Optional[str] = None,
+    ):
+        super().__init__(
+            "CustomSql", instance or expression, Entity.DATASET, where
+        )
+        self.expression = expression
+
+    def _identity(self):
+        return super()._identity() + (self.expression,)
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+        expr = F.expr(self.expression)
+        if self.where is not None:
+            # gate by rewriting over a filtered projection is not
+            # possible for a black-box aggregate; fall back to a
+            # correlated conditional is likewise opaque — apply the
+            # filter by wrapping rows: any row failing `where` has all
+            # referenced columns NULLed via a `when` projection would
+            # change semantics, so CustomSql with `where` runs the
+            # expression over a pre-filtered frame (standalone path).
+            raise ValueError(
+                "CustomSql does not support `where` in the fused scan;"
+                " filter the DataFrame before analysis instead"
+            )
+        # force analysis so an invalid expression fails this analyzer
+        # only, not the whole fused job
+        df.select(expr)
+        return [expr]
+
+    def state_from_agg(self, values: Sequence) -> Optional[State]:
+        if values[0] is None:
+            return None
+        return SumState(float(values[0]))
+
+
 def _python_regex_matcher(pattern: Union[str, Pattern]):
     pat = pattern if isinstance(pattern, re.Pattern) else re.compile(pattern)
 

@@ -171,6 +171,29 @@ class StateRepository:
         return metrics_from_states(analyzers, merge_states(self.load(run_id)))
 
 
+def metrics_by_group(
+    df: DataFrame,
+    analyzers: Sequence[ScanShareableAnalyzer],
+    group_col: str,
+) -> Dict[str, Dict[Analyzer, DoubleMetric]]:
+    """Every analyzer's metric computed per group value in ONE
+    ``groupBy(group_col).agg`` job (e.g. quality metrics per language
+    over a webtext corpus).  Returns {group_value: {analyzer: metric}}.
+
+    Same machinery as per-bucket lineage states — the group's state row
+    IS a valid mergeable state, so per-group and whole-dataset metrics
+    stay consistent by construction."""
+    records = compute_partition_states(df, list(analyzers), group_col)
+    by_group: Dict[str, List[StateRecord]] = {}
+    for r in records:
+        by_group.setdefault(r.bucket, []).append(r)
+    out: Dict[str, Dict[Analyzer, DoubleMetric]] = {}
+    for group, recs in sorted(by_group.items()):
+        merged = merge_states(recs)
+        out[group] = metrics_from_states(analyzers, merged)
+    return out
+
+
 def incremental_metrics(
     repository: StateRepository,
     run_id: str,

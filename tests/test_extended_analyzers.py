@@ -342,6 +342,73 @@ class TestRunnerFusionWithExtensions:
         assert result.status == CheckStatus.SUCCESS, failing
 
 
+class TestCustomSql:
+    def test_expression_value(self, spark):
+        from hooqu_spark.analyzers import CustomSql
+
+        df = spark.createDataFrame(
+            [(1.0,), (5.0,), (9.0,)], "price double"
+        )
+        a = CustomSql("max(price) - min(price)", instance="price_range")
+        assert a.calculate(df).value.get() == 8.0
+
+    def test_fuses_with_other_analyzers(self, spark):
+        from hooqu_spark.analyzers import CustomSql, Size, do_analysis_run
+
+        df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        ctx = do_analysis_run(
+            df, [Size(), CustomSql("sum(v) * 2", instance="double_sum")]
+        )
+        values = {m.instance: m.value.get() for m in ctx.metric_map.values()}
+        assert values == {"*": 2.0, "double_sum": 6.0}
+
+    def test_invalid_expression_is_isolated_failure(self, spark):
+        from hooqu_spark.analyzers import CustomSql, Size, do_analysis_run
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        ctx = do_analysis_run(
+            df, [Size(), CustomSql("sum(nonexistent_col)")]
+        )
+        by_name = {m.name: m for m in ctx.metric_map.values()}
+        assert by_name["Size"].value.isSuccess
+        assert by_name["CustomSql"].value.isFailure
+
+    def test_where_rejected(self, spark):
+        from hooqu_spark.analyzers import CustomSql
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        metric = CustomSql("sum(v)", where="v > 0").calculate(df)
+        assert metric.value.isFailure
+
+
+class TestMetricsByGroup:
+    def test_per_group_equals_direct_groupby(self, spark):
+        from hooqu_spark.analyzers import Completeness, Mean, Size
+        from hooqu_spark.lineage import metrics_by_group
+
+        df = spark.createDataFrame(
+            [
+                ("en", 10.0),
+                ("en", 20.0),
+                ("en", None),
+                ("de", 5.0),
+                ("de", 7.0),
+            ],
+            "lang string, score double",
+        )
+        per = metrics_by_group(
+            df, [Size(), Mean("score"), Completeness("score")], "lang"
+        )
+        en = {m.name: m.value.get() for m in per["en"].values()}
+        de = {m.name: m.value.get() for m in per["de"].values()}
+        assert en["Size"] == 3.0
+        assert en["Mean"] == pytest.approx(15.0)
+        assert en["Completeness"] == pytest.approx(2 / 3)
+        assert de["Size"] == 2.0
+        assert de["Mean"] == pytest.approx(6.0)
+        assert de["Completeness"] == 1.0
+
+
 class TestLineageWithExtensionStates:
     def test_correlation_and_datatype_states_merge_across_buckets(self, spark):
         from hooqu_spark.lineage import (
