@@ -78,6 +78,53 @@ class TestWindowedMetrics:
         assert w10b["Mean"] == pytest.approx(15.0)
 
 
+class TestSlidingWindowMetrics:
+    def test_sliding_windows_overlap(self, spark, tmp_path):
+        from datetime import datetime
+
+        from hooqu_spark.streaming import WindowedMetrics
+
+        src = str(tmp_path / "ssrc")
+        chk = str(tmp_path / "schk")
+        rows = [
+            (datetime(2024, 1, 1, 10, m), 1.0) for m in (1, 6, 11)
+        ]
+        spark.createDataFrame(rows, "ts timestamp, v double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        wm = WindowedMetrics(
+            [Size()],
+            ts_col="ts",
+            window_duration="10 minutes",
+            slide_duration="5 minutes",
+            watermark_delay="30 minutes",
+        )
+        stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+        q = (
+            wm.attach(stream)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        metrics = wm.window_metrics()
+        sizes = {
+            k[0].strftime("%H:%M"): next(iter(v.values())).value.get()
+            for k, v in metrics.items()
+        }
+        # 10-min windows sliding by 5: event at 10:01 lands in
+        # [09:55,10:05) and [10:00,10:10); 10:06 in [10:00,10:10) and
+        # [10:05,10:15); 10:11 in [10:05,10:15) and [10:10,10:20)
+        assert sizes == {
+            "09:55": 1.0,
+            "10:00": 2.0,
+            "10:05": 2.0,
+            "10:10": 1.0,
+        }
+
+
 class TestStreamingVerification:
     def test_incremental_states_match_global(self, spark, tmp_path):
         src = str(tmp_path / "stream_src")
