@@ -307,6 +307,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "column string, completeness double, min_v double, max_v double"
         )
 
+    def token_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Training-data mixing: greedy per-language token budgets with
+        # deterministic id ordering (cross-engine reproducible).
+        from hooqu_spark.ops import sample_to_token_budget, token_counts
+
+        df = token_counts(_t(spark, sf_dir, "documents"))
+        out = sample_to_token_budget(
+            df, {"en": 2000, "de": 1000}, order_by="id"
+        )
+        return out.select("doc_id", "lang", "n_tokens")
+
     def custom_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hooqu_spark.analyzers import CustomSql
 
@@ -483,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_histogram_lineitem_price": numeric_histogram_query,
         "custom_sql_price_range": custom_sql_query,
         "metrics_by_group_returnflag": metrics_by_group_query,
+        "token_budget_sample_documents": token_budget_query,
         "quality_features_documents": quality_features_query,
         "salted_counts_events_type": salted_counts_query,
         "topk_cosine_embeddings": topk_cosine_query,
@@ -641,6 +653,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "salted_counts_events_type": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "token_budget_sample_documents": (
+            "WITH t AS (SELECT doc_id, lang,"
+            " len(list_filter(string_split(text, ' '), x -> x <> ''))"
+            " AS n_tokens FROM documents),"
+            " c AS (SELECT doc_id, lang, n_tokens,"
+            " sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id"
+            " ROWS UNBOUNDED PRECEDING) AS cum FROM t)"
+            " SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens"
+            " FROM c WHERE (lang = 'en' AND cum <= 2000)"
+            " OR (lang = 'de' AND cum <= 1000)"
         ),
         "custom_sql_price_range": (
             "SELECT round(max(l_extendedprice) - min(l_extendedprice), 6)"

@@ -37,6 +37,7 @@ from .text import (
     document_fingerprints,
     language_distribution,
     quality_features,
+    sample_to_token_budget,
     token_counts,
 )
 
@@ -59,6 +60,7 @@ __all__ = [
     "salted_agg",
     "salted_counts",
     "salted_numeric_summary",
+    "sample_to_token_budget",
     "simhash_dedup",
     "simhash_signatures",
     "token_counts",

@@ -46,6 +46,53 @@ def language_distribution(df: DataFrame, lang_col: str = "lang") -> DataFrame:
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: dict,
+    n_tokens_col: str = "n_tokens",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    order_by: str = "hash",
+) -> DataFrame:
+    """Training-data mixing: keep documents per language until that
+    language's token budget is reached (greedy by a deterministic
+    order).  A doc is kept while the running token total INCLUDING it
+    stays <= the budget; languages missing from ``budgets`` are
+    dropped.
+
+    One window per language partition (cumulative sum ordered by a
+    deterministic key) — scales as a single shuffle on ``lang_col``;
+    salt via :mod:`hooqu_spark.ops.skew` if one language dominates and
+    budgets allow partial ordering.
+
+    ``order_by='hash'`` (default) takes a pseudo-random but
+    deterministic sample (xxhash64 of the id); ``order_by='id'`` is
+    reproducible across engines (used by the SQL-oracle contract
+    query).
+    """
+    from pyspark.sql import Window
+    from itertools import chain
+
+    key = (
+        F.xxhash64(F.col(id_col)) if order_by == "hash" else F.col(id_col)
+    )
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(budgets.items())]
+    )
+    cum = F.sum(F.col(n_tokens_col)).over(w)
+    budget = F.coalesce(budget_map[F.col(lang_col)], F.lit(0))
+    return (
+        df.withColumn("_cum_tokens", cum)
+        .where(F.col("_cum_tokens") <= budget)
+        .drop("_cum_tokens")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full per-doc quality feature set (single Arrow UDF pass) —
     delegates to the pipeline's enrich stage."""

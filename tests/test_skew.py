@@ -142,3 +142,55 @@ class TestSaltedAgg:
         assert rows[0]["host"] == "hot.example"
         assert rows[0]["count"] == 800
         assert len(rows) == 3
+
+
+class TestTokenBudgetSampling:
+    @pytest.fixture(scope="class")
+    def docs_with_tokens(self, spark):
+        rows = []
+        for i in range(30):
+            rows.append((i, "en", 100))
+        for i in range(30, 50):
+            rows.append((i, "de", 50))
+        for i in range(50, 55):
+            rows.append((i, "fr", 10))
+        return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+    def test_budget_respected_per_language(self, docs_with_tokens):
+        from hooqu_spark.ops import sample_to_token_budget
+
+        out = sample_to_token_budget(
+            docs_with_tokens, {"en": 500, "de": 120}, order_by="id"
+        )
+        rows = out.groupBy("lang").agg(
+            F.sum("n_tokens").alias("tok"), F.count("*").alias("n")
+        ).collect()
+        by_lang = {r["lang"]: (r["tok"], r["n"]) for r in rows}
+        assert by_lang["en"] == (500, 5)   # 5 docs x 100 tokens
+        assert by_lang["de"] == (100, 2)   # 2 x 50 <= 120 < 3 x 50
+        assert "fr" not in by_lang         # no budget -> dropped
+
+    def test_id_order_keeps_smallest_ids(self, docs_with_tokens):
+        from hooqu_spark.ops import sample_to_token_budget
+
+        out = sample_to_token_budget(
+            docs_with_tokens, {"en": 300}, order_by="id"
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2]
+
+    def test_hash_order_deterministic(self, docs_with_tokens):
+        from hooqu_spark.ops import sample_to_token_budget
+
+        a = sorted(
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                docs_with_tokens, {"en": 500}
+            ).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                docs_with_tokens, {"en": 500}
+            ).collect()
+        )
+        assert a == b and len(a) == 5
