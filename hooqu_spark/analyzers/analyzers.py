@@ -606,24 +606,38 @@ class CustomSql(ScanShareableAnalyzer):
     def _identity(self):
         return super()._identity() + (self.expression,)
 
-    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
+    @property
+    def fuses_into_scan(self) -> bool:
+        # A black-box aggregate cannot be gated with conditional
+        # aggregation, so a `where`-filtered CustomSql runs standalone
+        # over a pre-filtered frame instead of joining the fused scan.
+        return self.where is None
+
+    def _checked_expr(self, df: DataFrame) -> Column:
         expr = F.expr(self.expression)
+        # Aggregate-context analysis check (no job): ``limit(0).agg``
+        # resolves the plan eagerly, rejecting both unresolvable AND
+        # resolvable-but-non-aggregate expressions (e.g. "v + 1") —
+        # a plain ``df.select(expr)`` accepts the latter, which would
+        # then fail the entire fused job with MISSING_GROUP_BY instead
+        # of failing this analyzer only.
+        df.limit(0).agg(expr)
+        return expr
+
+    def aggregation_exprs(self, df: DataFrame) -> List[Column]:
         if self.where is not None:
-            # gate by rewriting over a filtered projection is not
-            # possible for a black-box aggregate; fall back to a
-            # correlated conditional is likewise opaque — apply the
-            # filter by wrapping rows: any row failing `where` has all
-            # referenced columns NULLed via a `when` projection would
-            # change semantics, so CustomSql with `where` runs the
-            # expression over a pre-filtered frame (standalone path).
             raise ValueError(
-                "CustomSql does not support `where` in the fused scan;"
-                " filter the DataFrame before analysis instead"
+                "CustomSql with `where` cannot fuse into a shared scan;"
+                " it runs standalone over a pre-filtered frame"
             )
-        # force analysis so an invalid expression fails this analyzer
-        # only, not the whole fused job
-        df.select(expr)
-        return [expr]
+        return [self._checked_expr(df)]
+
+    def compute_state_from(self, data: DataFrame) -> Optional[State]:
+        if self.where is not None:
+            data = data.where(F.expr(translate(self.where)))
+        expr = self._checked_expr(data)
+        row = data.agg(expr).first()
+        return self.state_from_agg(list(row))
 
     def state_from_agg(self, values: Sequence) -> Optional[State]:
         if values[0] is None:

@@ -252,6 +252,13 @@ class ScanShareableAnalyzer(Analyzer):
     """Analyzer whose work is a set of aggregate expressions over one
     scan; the runner fuses these across analyzers into a single job."""
 
+    @property
+    def fuses_into_scan(self) -> bool:
+        """False when this instance must run standalone (e.g. CustomSql
+        with ``where``, whose black-box aggregate cannot be gated with
+        conditional aggregation); the runner then uses ``calculate``."""
+        return True
+
     @abstractmethod
     def aggregation_exprs(self, df: DataFrame) -> List[Column]:
         """Unaliased aggregate expressions, already gated on ``where``."""

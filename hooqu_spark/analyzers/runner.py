@@ -113,7 +113,7 @@ def do_analysis_run(
     for a in passed:
         if isinstance(a, Quantile):
             quantiles.append(a)
-        elif isinstance(a, ScanShareableAnalyzer):
+        elif isinstance(a, ScanShareableAnalyzer) and a.fuses_into_scan:
             scan.append(a)
         elif isinstance(a, FrequencyBasedAnalyzer):
             grouping.append(a)

@@ -209,12 +209,23 @@ def incremental_metrics(
     but never built (``README.rst:154-156``, stubbed ``aggregate_with``
     hooks in ``hooqu/analyzers/analyzer.py:107-108``): states for the
     delta's buckets are computed in one groupBy job, committed, and
-    merged (monoid ops) with every previously committed state.  Buckets
-    already present in the commit log for the delta's bucket ids are
-    superseded only if the caller uses fresh bucket ids per ingest —
-    append-only ingestion should derive ``partition_col`` from the
-    ingest batch (e.g. ingest date), not a stable hash.
+    merged (monoid ops) with every previously committed state.
+
+    Idempotence guard (mirrors the pipeline's resume semantics): delta
+    rows whose bucket id is already in the commit log are SKIPPED
+    (filtered out before the groupBy), so a retried or re-ingested
+    delta cannot double-count into the merged metrics.  Append-only
+    ingestion should therefore derive ``partition_col`` from the ingest
+    batch (e.g. ingest date), not a stable hash — a reused bucket id is
+    treated as already processed.
     """
+    committed = repository.committed_buckets(run_id)
+    if committed:
+        from pyspark.sql import functions as F
+
+        delta_df = delta_df.where(
+            ~F.col(partition_col).cast("string").isin(committed)
+        )
     records = compute_partition_states(delta_df, list(analyzers), partition_col)
     repository.save(run_id, records)
     return repository.merged_metrics(run_id, analyzers)

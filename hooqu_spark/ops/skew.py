@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 _SALT = "_hooqu_salt"
 
 
+def _salt_col(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts): xxhash64 over all
+    columns PLUS ``monotonically_increasing_id`` (partition id + row
+    offset).  The row-position term is what actually splits hot keys
+    when rows repeat verbatim — common for hot keys in web corpora —
+    while staying deterministic for a fixed input partitioning (task
+    retries re-derive the same ids)."""
+    return F.pmod(
+        F.xxhash64(
+            *[F.col(c) for c in df.columns], F.monotonically_increasing_id()
+        ),
+        F.lit(n_salts),
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -39,12 +54,17 @@ def salted_agg(
     ``merge_expr`` combines the per-salt partials by the SAME name
     (phase 2), e.g. ``{"n": (F.count(F.lit(1)), F.sum("n"))}``.
 
-    ``F.rand``-free: the salt is ``pmod(xxhash64(all columns…), n)``
-    — deterministic per row, so retried tasks salt identically
-    (required for exactly-once under speculative execution).
+    ``F.rand``-free: the salt is ``pmod(xxhash64(all columns…,
+    partition_id, row_offset), n)`` — deterministic per row for a fixed
+    input partitioning, so retried tasks salt identically (required for
+    exactly-once under speculative execution).  The per-row
+    disambiguator (``monotonically_increasing_id`` already encodes the
+    partition id) matters because web corpora repeat hot rows verbatim:
+    salting on column values alone would land every copy of a duplicated
+    hot row on ONE salt, defeating the split this module exists for.
     """
     keys = list(keys)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salt = _salt_col(df, n_salts)
     phase1 = (
         df.withColumn(_SALT, salt)
         .groupBy(*keys, _SALT)

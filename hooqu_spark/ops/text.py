@@ -85,9 +85,14 @@ def sample_to_token_budget(
         *[F.lit(x) for x in chain.from_iterable(budgets.items())]
     )
     cum = F.sum(F.col(n_tokens_col)).over(w)
-    budget = F.coalesce(budget_map[F.col(lang_col)], F.lit(0))
+    budget = budget_map[F.col(lang_col)]
     return (
-        df.withColumn("_cum_tokens", cum)
+        # unbudgeted languages are dropped OUTRIGHT (before the window):
+        # a zero-token doc would otherwise satisfy cum(0) <= 0 against a
+        # coalesced budget of 0 and leak through; the pre-filter also
+        # prunes their rows from the shuffle entirely
+        df.where(F.col(lang_col).isin(list(budgets)))
+        .withColumn("_cum_tokens", cum)
         .where(F.col("_cum_tokens") <= budget)
         .drop("_cum_tokens")
     )

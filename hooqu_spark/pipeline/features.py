@@ -93,33 +93,39 @@ def compute_doc_features(text: str) -> Dict[str, object]:
         symbol_ratio = (text.count("#") + text.count("...")) / n_words
         alpha_frac = len(_ALPHA_WORD_RE.findall(text)) / n_words
 
-        # language scores + perplexity + stopword fraction share one
-        # lookup per UNIQUE token (counts act as weights) — real text
-        # repeats words, so this shrinks the Python loop by the
-        # duplication factor
+        # language scores + stopword fraction + per-token surprisal
+        # VALUES need one lookup/hash per UNIQUE token (counts act as
+        # weights for the integer tallies) — real text repeats words,
+        # so this shrinks the Python loop by the duplication factor
         word_counts = Counter(lowered)
         stop_frac = (
             sum(c for w, c in word_counts.items() if w in EN_STOPWORDS)
             / n_words
         )
         lang_counts = [0] * len(LANGS)
-        surprisal_total = 0.0
+        surprisal: Dict[str, float] = {}
         for w, c in word_counts.items():
             m = mask_get(w)
             if m is None:
-                surprisal_total += c * (
+                surprisal[w] = (
                     SURPRISAL_BASE
                     + (zlib.crc32(w.encode("utf-8")) % _SURPRISAL_MOD) / 1000.0
                 )
             else:
-                surprisal_total += c * SURPRISAL_COMMON
+                surprisal[w] = SURPRISAL_COMMON
                 i = 0
                 while m:
                     if m & 1:
                         lang_counts[i] += c
                     m >>= 1
                     i += 1
-        log_ppl = surprisal_total / n_words
+        # Float-exactness contract: reference_impl accumulates surprisal
+        # per OCCURRENCE (left to right); float addition is not
+        # associative, so a count-weighted sum over unique tokens drifts
+        # by ulps and can flip threshold-adjacent keep decisions.  Only
+        # the per-token VALUES come from the unique-token dict; the
+        # summation order stays the reference's.
+        log_ppl = sum(map(surprisal.__getitem__, lowered)) / n_words
         best = max(range(len(LANGS)), key=lambda i: (lang_counts[i], -i))
         if lang_counts[best] == 0:
             lang_pred, lang_score = "und", 0.0

@@ -119,7 +119,13 @@ def _ref_doc(text: str, rules: RuleSet) -> Dict[str, object]:
         and lang_score >= rules.min_lang_score
         and ppl <= rules.max_log_ppl
     )
-    return {"keep": keep, "scrubbed_text": scrubbed, "lang_pred": lang_pred}
+    return {
+        "keep": keep,
+        "scrubbed_text": scrubbed,
+        "lang_pred": lang_pred,
+        "lang_score": lang_score,
+        "log_ppl": ppl,
+    }
 
 
 def reference_labels(

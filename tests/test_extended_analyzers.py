@@ -373,12 +373,43 @@ class TestCustomSql:
         assert by_name["Size"].value.isSuccess
         assert by_name["CustomSql"].value.isFailure
 
-    def test_where_rejected(self, spark):
-        from hooqu_spark.analyzers import CustomSql
+    def test_non_aggregate_expression_is_isolated_failure(self, spark):
+        # "v + 1" RESOLVES but is not an aggregate; it must fail this
+        # analyzer only, not poison the fused job for everyone
+        # (MISSING_GROUP_BY used to escape the per-analyzer guard).
+        from hooqu_spark.analyzers import CustomSql, Size, do_analysis_run
 
         df = spark.createDataFrame([(1.0,)], "v double")
+        ctx = do_analysis_run(df, [Size(), CustomSql("v + 1")])
+        by_name = {m.name: m for m in ctx.metric_map.values()}
+        assert by_name["Size"].value.isSuccess
+        assert by_name["CustomSql"].value.isFailure
+
+    def test_where_runs_standalone_prefiltered(self, spark):
+        from hooqu_spark.analyzers import CustomSql
+
+        df = spark.createDataFrame(
+            [(1.0,), (-2.0,), (3.0,)], "v double"
+        )
         metric = CustomSql("sum(v)", where="v > 0").calculate(df)
-        assert metric.value.isFailure
+        assert metric.value.get() == 4.0
+
+    def test_where_in_run_coexists_with_fused(self, spark):
+        from hooqu_spark.analyzers import CustomSql, Size, do_analysis_run
+
+        df = spark.createDataFrame(
+            [(1.0,), (-2.0,), (3.0,)], "v double"
+        )
+        ctx = do_analysis_run(
+            df,
+            [
+                Size(),
+                CustomSql("sum(v)", instance="pos_sum", where="v > 0"),
+                CustomSql("sum(v)", instance="all_sum"),
+            ],
+        )
+        values = {m.instance: m.value.get() for m in ctx.metric_map.values()}
+        assert values == {"*": 3.0, "pos_sum": 4.0, "all_sum": 2.0}
 
 
 class TestMetricsByGroup:

@@ -54,6 +54,31 @@ def test_three_daily_ingests_equal_full_scan(spark, tmp_path):
         assert got == pytest.approx(want, rel=1e-12), a.name
 
 
+def test_reingested_delta_is_idempotent(spark, tmp_path):
+    # a retried/duplicate ingest of an already-committed bucket must NOT
+    # double-count into the merged metrics
+    repo = StateRepository(str(tmp_path))
+    analyzers = [Size(), Mean("v")]
+    b1 = spark.createDataFrame(
+        [("d1", float(i)) for i in range(50)], "day string, v double"
+    )
+    first = incremental_metrics(repo, "r", analyzers, b1, "day")
+    again = incremental_metrics(repo, "r", analyzers, b1, "day")  # retry
+    assert first[analyzers[0]].value.get() == 50.0
+    assert again[analyzers[0]].value.get() == 50.0
+    assert again[analyzers[1]].value.get() == first[analyzers[1]].value.get()
+
+    # a mixed delta (one committed bucket, one new) folds in only the new
+    mixed = b1.unionByName(
+        spark.createDataFrame(
+            [("d2", float(100 + i)) for i in range(10)],
+            "day string, v double",
+        )
+    )
+    m = incremental_metrics(repo, "r", analyzers, mixed, "day")
+    assert m[analyzers[0]].value.get() == 60.0
+
+
 def test_restart_resumes_from_commit_log(spark, tmp_path):
     repo = StateRepository(str(tmp_path))
     analyzers = [Size(), Mean("v")]

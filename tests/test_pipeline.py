@@ -104,6 +104,33 @@ class TestParity:
         assert scrubbed.str.contains("<TOXIC>").any()
 
 
+class TestKernelFloatExact:
+    def test_kernel_float_exact_vs_reference_impl(self):
+        """CLAUDE.md invariant: the Spark kernel must stay FLOAT-EXACT
+        (==, not approx) vs reference_impl on the synthetic corpus.
+
+        The F1 test cannot catch ulp drift; threshold-adjacent keep
+        decisions can flip on it.  log_ppl is the regression target —
+        a count-weighted surprisal sum over unique tokens once diverged
+        from the reference's per-occurrence accumulation on 118/1500
+        docs.
+        """
+        from hooqu_spark.pipeline.features import compute_doc_features
+        from hooqu_spark.pipeline.reference_impl import _ref_doc
+
+        n_checked = 0
+        for i in range(N_DOCS):
+            text = make_doc(i)["text"]
+            got = compute_doc_features(text)
+            want = _ref_doc(text, DEFAULT_RULES)
+            assert got["log_ppl"] == want["log_ppl"], f"doc {i} log_ppl"
+            assert got["lang_score"] == want["lang_score"], f"doc {i}"
+            assert got["lang_pred"] == want["lang_pred"], f"doc {i}"
+            assert got["scrubbed_text"] == want["scrubbed_text"], f"doc {i}"
+            n_checked += 1
+        assert n_checked == N_DOCS
+
+
 class TestPipelineEndToEnd:
     def test_run_pipeline_and_resume(self, spark, pages, tmp_path):
         work = str(tmp_path / "work")

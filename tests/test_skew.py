@@ -137,6 +137,24 @@ class TestSaltedAgg:
         )
         assert a == b
 
+    def test_duplicate_rows_still_split_across_salts(self, spark):
+        # a hot key whose rows are VERBATIM duplicates (key-only table)
+        # must still spread across salts — salting on column values
+        # alone would put every copy on one salt
+        from hooqu_spark.ops.skew import _SALT, _salt_col, salted_counts
+
+        dup = spark.createDataFrame(
+            [("hot",)] * 1000, "host string"
+        ).repartition(4)
+        n_salts = (
+            dup.select(_salt_col(dup, 16).alias(_SALT))
+            .distinct()
+            .count()
+        )
+        assert n_salts > 4  # hot duplicated key split across many salts
+        rows = salted_counts(dup, ["host"]).collect()
+        assert [(r["host"], r["count"]) for r in rows] == [("hot", 1000)]
+
     def test_top_hot_keys(self, skewed):
         rows = top_hot_keys(skewed, ["host"], k=3).collect()
         assert rows[0]["host"] == "hot.example"
@@ -177,6 +195,19 @@ class TestTokenBudgetSampling:
             docs_with_tokens, {"en": 300}, order_by="id"
         )
         assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2]
+
+    def test_zero_token_doc_in_unbudgeted_language_dropped(self, spark):
+        # contract: languages missing from `budgets` are dropped — a
+        # zero-token doc used to satisfy cum(0) <= coalesce(budget, 0)
+        # and leak through
+        from hooqu_spark.ops import sample_to_token_budget
+
+        df = spark.createDataFrame(
+            [(1, "en", 10), (2, "xx", 0), (3, "xx", 5)],
+            "doc_id long, lang string, n_tokens long",
+        )
+        out = sample_to_token_budget(df, {"en": 100}, order_by="id")
+        assert sorted(r["doc_id"] for r in out.collect()) == [1]
 
     def test_hash_order_deterministic(self, docs_with_tokens):
         from hooqu_spark.ops import sample_to_token_budget
