@@ -9,8 +9,11 @@ engine's fused runner so each pass is ONE Spark job:
   column in a single fused ``df.agg`` scan (completeness, approx
   distinct count, min/max/mean/stddev for numerics, min/max length +
   type inference for strings).
-* pass 2 — (only for low-cardinality columns found in pass 1) exact
-  value histograms, one shared ``groupBy`` job per column.
+* pass 2 — (only for columns nominated by pass 1) exact value
+  histograms for low-cardinality columns AND exact uniqueness
+  confirmation for key candidates, fused into ONE exploded
+  ``groupBy(column_name, value)`` scan shared by every nominated
+  column — never a per-column job.
 
 ``suggest_constraints`` turns profiles into concrete, ready-to-run
 constraint suggestions with human-readable rationale and a
@@ -29,7 +32,6 @@ from .analyzers import (
     ApproxCountDistinct,
     Completeness,
     DataTypeHistogram,
-    Histogram,
     Maximum,
     MaxLength,
     Mean,
@@ -37,10 +39,8 @@ from .analyzers import (
     MinLength,
     Size,
     StandardDeviation,
-    Uniqueness,
-    do_analysis_run,
 )
-from .analyzers.base import Analyzer
+from .analyzers.base import Analyzer, apply_projections
 from .checks import Check, CheckLevel
 
 
@@ -97,12 +97,46 @@ def profile_columns(
                 stddev=StandardDeviation(c),
             )
         elif isinstance(dtype, T.StringType):
-            a.update(min_length=MinLength(c), max_length=MaxLength(c))
+            a.update(
+                min_length=MinLength(c),
+                max_length=MaxLength(c),
+                dtype=DataTypeHistogram(c),
+            )
         per_col[c] = a
         analyzers.extend(a.values())
 
-    # pass 1: everything above fuses into one scan
-    ctx = do_analysis_run(df, analyzers)
+    # pass 1: ONE fused df.agg evaluating every analyzer's aggregate
+    # expressions — including the DataTypeHistogram bucket counts, which
+    # used to run as a second full-scan job because do_analysis_run only
+    # surfaces metrics; here we slice the fused row into per-analyzer
+    # STATES directly (same mechanism as the lineage runner).
+    agg_input = apply_projections(df, analyzers)
+    slices: List[tuple] = []
+    exprs: List = []
+    for a in analyzers:
+        ae = a.aggregation_exprs(agg_input)
+        slices.append((a, len(exprs), len(exprs) + len(ae)))
+        exprs.extend(ae)
+    row = list(
+        agg_input.agg(
+            *(e.alias(f"_p{i}") for i, e in enumerate(exprs))
+        ).first()
+    )
+    states: Dict[Analyzer, object] = {}
+    for a, start, end in slices:
+        try:
+            states[a] = a.state_from_agg(row[start:end])
+        except Exception:  # e.g. stddev over an all-null column
+            states[a] = None
+
+    def _state_value(analyzer: Analyzer) -> Optional[float]:
+        state = states.get(analyzer)
+        if state is None:
+            return None
+        try:
+            return float(state.metric_value())
+        except Exception:  # noqa: BLE001
+            return None
 
     profiles: Dict[str, ColumnProfile] = {}
     for c in cols:
@@ -111,68 +145,115 @@ def profile_columns(
         p = ColumnProfile(
             column=c,
             spark_type=dtype.simpleString(),
-            completeness=_value(ctx.metric(a["completeness"])) or 0.0,
-            approx_distinct=_value(ctx.metric(a["distinct"])) or 0.0,
+            completeness=_state_value(a["completeness"]) or 0.0,
+            approx_distinct=_state_value(a["distinct"]) or 0.0,
         )
         if "minimum" in a:
             p.is_numeric = True
-            p.minimum = _value(ctx.metric(a["minimum"]))
-            p.maximum = _value(ctx.metric(a["maximum"]))
-            p.mean = _value(ctx.metric(a["mean"]))
-            p.stddev = _value(ctx.metric(a["stddev"]))
+            p.minimum = _state_value(a["minimum"])
+            p.maximum = _state_value(a["maximum"])
+            p.mean = _state_value(a["mean"])
+            p.stddev = _state_value(a["stddev"])
         if "min_length" in a:
             p.is_string = True
-            p.min_length = _value(ctx.metric(a["min_length"]))
-            p.max_length = _value(ctx.metric(a["max_length"]))
+            p.min_length = _state_value(a["min_length"])
+            p.max_length = _state_value(a["max_length"])
+            dstate = states.get(a["dtype"])
+            if dstate is not None:
+                p.inferred_type = dstate.inferred_type()
+                p.type_fractions = dstate.histogram()
         profiles[c] = p
-    n_rows = _value(ctx.metric(analyzers[0])) or 0.0
+    n_rows = _state_value(analyzers[0]) or 0.0
 
-    # string type inference states (cheap second use of pass-1 pattern:
-    # fused into ONE extra agg job for all string columns)
-    string_cols = [c for c in cols if profiles[c].is_string]
-    if string_cols:
-        dtype_analyzers = [DataTypeHistogram(c) for c in string_cols]
-        slices = []
-        exprs = []
-        for a in dtype_analyzers:
-            ae = a.aggregation_exprs(df)
-            slices.append((a, len(exprs), len(exprs) + len(ae)))
-            exprs.extend(ae)
-        row = list(
-            df.agg(*(e.alias(f"_p{i}") for i, e in enumerate(exprs))).first()
+    # pass 2 (fused): exact value histograms for low-cardinality columns
+    # AND exact uniqueness confirmation for key candidates, in ONE scan.
+    #
+    # HLL nominates both column sets from pass 1: low-cardinality
+    # columns get a histogram; columns whose approx distinct count is
+    # within sketch error of the row count are key CANDIDATES whose
+    # exact uniqueness must be confirmed (a near-unique column with dup
+    # values below HLL error must never yield a false is_unique).
+    #
+    # Plan: explode each profiled row into (column_name, value-as-string)
+    # pairs for just the nominated columns, groupBy(name, value) for the
+    # frequency table, then groupBy(name) for per-column sufficient
+    # statistics — the design that replaced one full groupBy over the
+    # raw table PER COLUMN (a 50-column table paid ~dozens of scans).
+    # Scale notes: the (name, value) shuffle is well distributed even
+    # for near-unique columns; the per-name aggregate is map-side
+    # partial (sums/counts), and the only collect_list is gated to
+    # low-cardinality columns, so its per-group payload is bounded by
+    # ~low_cardinality_threshold entries.  Values are keyed by their
+    # Spark string cast (within one column, distinct values cast to
+    # distinct strings for every profiled type).
+    from pyspark.sql import functions as F
+
+    hist_cols = [
+        c
+        for c in cols
+        if with_histograms
+        and 0 < profiles[c].approx_distinct <= low_cardinality_threshold
+    ]
+    key_candidates = [
+        c
+        for c, p in profiles.items()
+        if n_rows > 0
+        and p.completeness == 1.0
+        and p.approx_distinct >= 0.9 * n_rows
+    ]
+    pass2_cols = list(dict.fromkeys(hist_cols + key_candidates))
+    if pass2_cols:
+        pairs = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("_pcol"),
+                                F.col(c).cast("string").alias("_pval"),
+                            )
+                            for c in pass2_cols
+                        ]
+                    )
+                ).alias("p")
+            )
+            .select("p._pcol", "p._pval")
+            .where(F.col("_pval").isNotNull())
         )
-        for a, start, end in slices:
-            state = a.state_from_agg(row[start:end])
-            prof = profiles[a.instance]
-            prof.inferred_type = state.inferred_type()
-            prof.type_fractions = state.histogram()
-
-    # pass 2: exact histograms for low-cardinality columns
-    if with_histograms:
-        for c in cols:
+        freq = pairs.groupBy("_pcol", "_pval").agg(
+            F.count(F.lit(1)).alias("_pcnt")
+        )
+        in_hist = (
+            F.col("_pcol").isin(hist_cols) if hist_cols else F.lit(False)
+        )
+        stats = freq.groupBy("_pcol").agg(
+            F.sum("_pcnt").alias("_total"),
+            F.sum(F.when(F.col("_pcnt") == 1, 1).otherwise(0)).alias(
+                "_singletons"
+            ),
+            F.collect_list(
+                F.when(in_hist, F.struct("_pcnt", "_pval"))
+            ).alias("_bins"),
+        ).collect()
+        by_col = {r["_pcol"]: r for r in stats}
+        for c in hist_cols:
+            r = by_col.get(c)
+            if r is None:  # all-null column
+                continue
+            total = int(r["_total"])
+            bins = sorted(
+                ((int(b["_pcnt"]), b["_pval"]) for b in r["_bins"]),
+                key=lambda t: (-t[0], t[1]),
+            )[:low_cardinality_threshold]
+            profiles[c].histogram = [
+                (v, n, n / total) for n, v in bins
+            ]
+        for c in key_candidates:
+            r = by_col.get(c)
+            if r is None:
+                continue
             p = profiles[c]
-            if 0 < p.approx_distinct <= low_cardinality_threshold:
-                rows = Histogram(c, max_detail_bins=low_cardinality_threshold
-                                 ).distribution(df).collect()
-                p.histogram = [
-                    (str(r["value"]), int(r["count"]), float(r["ratio"]))
-                    for r in rows
-                ]
-
-    # key-likeness: HLL nominates candidates (approx distinct within
-    # sketch error of the row count); the exact Uniqueness analyzer
-    # confirms, so a near-unique column (dup values below HLL error)
-    # never yields a false is_unique suggestion.  Only candidate
-    # columns pay the exact groupBy.
-    for c, p in profiles.items():
-        candidate = (
-            n_rows > 0
-            and p.completeness == 1.0
-            and p.approx_distinct >= 0.9 * n_rows
-        )
-        if candidate:
-            metric = Uniqueness([c]).calculate(df)
-            p.uniqueness = _value(metric)
+            p.uniqueness = int(r["_singletons"]) / int(r["_total"])
             p.looks_unique = p.uniqueness == 1.0
     return profiles
 

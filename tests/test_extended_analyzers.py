@@ -124,6 +124,43 @@ class TestDataTypeHistogram:
         )
         assert DataTypeHistogram("v").calculate(df).value.get() == 0.75
 
+    def test_classifier_matches_regex_semantics(self, spark):
+        # the fast (mostly regex-free) classifier must stay exactly
+        # equivalent to the documented anchored regexes on edge cases
+        import re
+
+        cases = [
+            "true", "false", "True", "TRUE", "truex",
+            "0", "007", "+1", "-1", "+", "-", "", " 1", "1 ", "+-3",
+            "1.5", ".5", "5.", "+.5", "-5.", "1.5e3", "1.5E-3", "1.5e",
+            "1e3", "1.2.3", "..", ".", "abc", "1a", "½", "٣", None,
+        ]
+        bool_re = re.compile(r"^(true|false)$")
+        int_re = re.compile(r"^[-+]?[0-9]+$")
+        frac_re = re.compile(
+            r"^[-+]?([0-9]*\.[0-9]+|[0-9]+\.[0-9]*)([eE][-+]?[0-9]+)?$"
+        )
+
+        def want_bucket(v):
+            if v is None:
+                return 4
+            if bool_re.match(v):
+                return 0
+            if int_re.match(v):
+                return 1
+            if frac_re.match(v):
+                return 2
+            return 3
+
+        df = spark.createDataFrame([(v,) for v in cases], "v string")
+        got = [
+            r["b"]
+            for r in df.select(
+                DataTypeHistogram("v")._classifier().alias("b")
+            ).collect()
+        ]
+        assert got == [want_bucket(v) for v in cases]
+
     def test_inferred_type(self, spark):
         ints = spark.createDataFrame([("1",), ("2",)], "v string")
         assert (
