@@ -49,19 +49,36 @@ def exact_dedup(df: DataFrame, subset: List[str], id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _shingle_hashes(text: str, shingle_size: int) -> np.ndarray:
+    """Distinct crc32 hashes of the word ``shingle_size``-grams.
+
+    Byte-identical to hashing ``" ".join(words[i:i+k]).encode()`` per
+    shingle, but ~4x cheaper: every shingle is a byte SLICE of the
+    single-space-joined text (words contain no whitespace, and UTF-8
+    multi-byte sequences never contain 0x20), so the hot loop is one
+    ``crc32(memoryview[s:e])`` per shingle — no per-shingle string
+    join/encode.  Offsets come from a numpy cumsum over the encoded
+    word lengths.
+    """
     words = text.split()
-    if len(words) < shingle_size:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [
-            " ".join(words[i : i + shingle_size])
-            for i in range(len(words) - shingle_size + 1)
-        ]
+    n = len(words)
+    if n < shingle_size:
+        s = " ".join(words)  # [] -> "" (hash of the empty shingle)
+        return np.array([zlib.crc32(s.encode("utf-8"))], dtype=np.uint64)
+    norm = " ".join(words).encode("utf-8")
+    mv = memoryview(norm)
+    bl = np.fromiter(map(len, norm.split(b" ")), dtype=np.int64, count=n)
+    cum = np.concatenate(([0], np.cumsum(bl)))
+    n_sh = n - shingle_size + 1
+    # shingle i spans words i..i+k-1: start = cum[i] + i (i separator
+    # spaces precede word i), end = cum[i+k] + i+k-1
+    starts = (cum[:n_sh] + np.arange(n_sh)).tolist()
+    ends = (cum[shingle_size:] + np.arange(shingle_size - 1, n)).tolist()
+    crc = zlib.crc32
     return np.unique(
         np.fromiter(
-            (zlib.crc32(s.encode("utf-8")) for s in shingles),
+            (crc(mv[s:e]) for s, e in zip(starts, ends)),
             dtype=np.uint64,
-            count=len(shingles),
+            count=n_sh,
         )
     )
 
@@ -166,15 +183,28 @@ def minhash_dedup(
     shingle_size: int = 3,
 ) -> DataFrame:
     """Drop rows whose estimated Jaccard vs any smaller-id candidate is
-    >= threshold (greedy-by-id survivor policy)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
-    pairs = lsh_candidate_pairs(sigs, n_bands)
-    scored = _signature_agreement(pairs, sigs)
-    losers = (
-        scored.where(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    >= threshold (greedy-by-id survivor policy).
+
+    The signature table feeds three plan branches (band explosion plus
+    both sides of the agreement join); it is persisted so the Arrow
+    shingle+hash kernel — the expensive per-doc step — runs ONCE per
+    document instead of three times, then released after the (small)
+    loser-id set is materialized via ``localCheckpoint``.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_size
+    ).persist()
+    try:
+        pairs = lsh_candidate_pairs(sigs, n_bands)
+        scored = _signature_agreement(pairs, sigs)
+        losers = (
+            scored.where(F.col("est_jaccard") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .localCheckpoint()  # materialize before releasing sigs
+        )
+    finally:
+        sigs.unpersist()
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -228,8 +258,11 @@ def simhash_dedup(
 ) -> DataFrame:
     """Near-dup removal by SimHash: bucket on 4x16-bit chunks (two rows
     within hamming distance <= 3 of a 64-bit hash agree on at least one
-    of 4 chunks — pigeonhole), verify hamming distance inside buckets."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    of 4 chunks — pigeonhole), verify hamming distance inside buckets.
+
+    Signatures are persisted across the self-join's two branches so the
+    Arrow bit-vote kernel runs once per document."""
+    sigs = simhash_signatures(df, id_col, text_col).persist()
     chunks = sigs.select(
         "id",
         "simhash",
@@ -251,17 +284,21 @@ def simhash_dedup(
     hamming = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
     )
-    losers = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l.id") < F.col("r.id")),
+    try:
+        losers = (
+            l.join(
+                r,
+                (F.col("l.chunk") == F.col("r.chunk"))
+                & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .where(hamming <= max_hamming)
+            .select(F.col("r.id").alias(id_col))
+            .distinct()
+            .localCheckpoint()
         )
-        .where(hamming <= max_hamming)
-        .select(F.col("r.id").alias(id_col))
-        .distinct()
-    )
+    finally:
+        sigs.unpersist()
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -359,9 +396,15 @@ def ngram_jaccard_dedup(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with EXACT n-gram Jaccard
     (shingle-set intersection over union, computed JVM-side on shingle
-    hash arrays)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
-    pairs = lsh_candidate_pairs(sigs, n_bands)
+    hash arrays).
+
+    Both per-doc Arrow kernels (minhash signatures, shingle arrays) are
+    persisted across their multiple plan branches so each document is
+    shingled/hashed exactly once; released after the loser-id set is
+    materialized."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_size
+    ).persist()
 
     def shingle_arrays(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -377,16 +420,26 @@ def ngram_jaccard_dedup(
             T.StructField("shingles", T.ArrayType(T.LongType())),
         ]
     )
-    sh = df.select(id_col, text_col).mapInPandas(shingle_arrays, schema=schema)
-    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    losers = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where((inter / union) >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    sh = (
+        df.select(id_col, text_col)
+        .mapInPandas(shingle_arrays, schema=schema)
+        .persist()
     )
+    try:
+        pairs = lsh_candidate_pairs(sigs, n_bands)
+        sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        losers = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where((inter / union) >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .localCheckpoint()
+        )
+    finally:
+        sigs.unpersist()
+        sh.unpersist()
     return df.join(losers, on=id_col, how="left_anti")

@@ -53,6 +53,44 @@ class TestExactDedup:
 
 
 class TestMinHash:
+    def test_shingle_hashes_byte_identical_to_naive(self):
+        # the byte-slice kernel must produce EXACTLY the hashes of the
+        # naive per-shingle join+encode+crc32 (signatures — and thus
+        # dedup survivors — are part of the stable contract output)
+        import zlib
+
+        import numpy as np
+
+        from hooqu_spark.ops.dedup import _shingle_hashes
+        from hooqu_spark.pipeline.synth import make_doc
+
+        def naive(text, k):
+            words = text.split()
+            if len(words) < k:
+                shingles = [" ".join(words)] if words else [""]
+            else:
+                shingles = [
+                    " ".join(words[i : i + k])
+                    for i in range(len(words) - k + 1)
+                ]
+            return np.unique(
+                np.array(
+                    [zlib.crc32(s.encode("utf-8")) for s in shingles],
+                    dtype=np.uint64,
+                )
+            )
+
+        cases = [
+            "", "one", "one two", "one two three", "a b c d e f g",
+            "héllo wörld straße naïve 日本語 テスト mixé",  # multi-byte UTF-8
+            "x " * 500,
+        ] + [make_doc(i)["text"] for i in range(40)]
+        for k in (2, 3, 5):
+            for text in cases:
+                got = _shingle_hashes(text, k)
+                want = naive(text, k)
+                assert np.array_equal(got, want), (k, text[:40])
+
     def test_signatures_deterministic_and_sized(self, docs):
         s1 = {r["id"]: r["signature"] for r in minhash_signatures(docs, "id").collect()}
         s2 = {r["id"]: r["signature"] for r in minhash_signatures(docs, "id").collect()}
