@@ -386,8 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Predicted language (lexicon scorer inside the single-pass
-        # Arrow UDF; fastText-compatible interface) — the model is not
-        # SQL-expressible -> rows-only check.
+        # Arrow UDF; fastText-compatible interface).  The fallback
+        # scorer is deterministic lexicon arithmetic, so it IS
+        # SQL-expressible — oracled against DuckDB with the lexicons
+        # inlined as a VALUES relation.
         from hooqu_spark.pipeline.core import enrich
 
         df = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -413,11 +415,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return document_fingerprints(df).select("doc_id", "fp_exact", "fp_prefix")
 
     def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # LSH-bucketed candidate generation -> rows-only check.
+        # Exact-candidate mode (AllPairs prefix-filter index, recall
+        # 1.0) -> survivor set is fully SQL-expressible and oracled.
         from hooqu_spark.ops import ngram_jaccard_dedup
 
         df = _t(spark, sf_dir, "documents")
         return ngram_jaccard_dedup(df, "doc_id", threshold=0.8).select("doc_id")
+
+    def jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Exact n-gram Jaccard set-similarity self-join (id_a < id_b),
+        # prefix-filtered candidate generation, JVM-side verify.
+        from hooqu_spark.ops import jaccard_similar_pairs
+
+        df = _t(spark, sf_dir, "documents")
+        return jaccard_similar_pairs(df, "doc_id", threshold=0.8).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
 
     def minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # No SQL oracle (LSH not SQL-expressible) -> rows-only check.
@@ -503,13 +516,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures_documents": simhash_query,
         "fingerprints_documents": fingerprints_query,
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
+        "jaccard_pairs_documents": jaccard_pairs_query,
         "langid_documents": langid_query,
         "near_dup_pairs_embeddings": near_dup_pairs_query,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # n-gram Jaccard shingle CTE shared by the pairs and dedup oracles:
+    # tokens = non-empty chunks of a whitespace split; docs shorter
+    # than 3 words contribute their full text as the single shingle
+    # (mirrors hooqu_spark.ops.dedup._shingle_str_col).
+    shingle_cte = (
+        "WITH w AS (SELECT doc_id,"
+        " list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),"
+        " x -> x <> '') AS wds FROM documents),"
+        " d AS (SELECT doc_id,"
+        " CASE WHEN len(wds) < 3 THEN [array_to_string(wds, ' ')]"
+        " ELSE list_distinct([array_to_string(wds[i:i+2], ' ')"
+        " for i in range(1, len(wds)-1)]) END AS sh FROM w)"
+    )
+    jaccard_expr = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    # langid oracle: the (small) lexicons inlined as a VALUES relation;
+    # scoring is occurrence-count membership per language, argmax with
+    # alphabetical tie-break, 'und' when no lexicon word matches.
+    from hooqu_spark.pipeline.spec import LEXICONS
+
+    lex_values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LEXICONS)
+        for w in LEXICONS[lang]
+    )
+    langid_oracle = (
+        "WITH w AS (SELECT doc_id,"
+        " list_filter(regexp_split_to_array(lower(coalesce(text,'')),"
+        " '\\s+'), x -> x <> '') AS ws FROM documents),"
+        " tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),"
+        f" lex(lang, wd) AS (VALUES {lex_values}),"
+        " counts AS (SELECT t.doc_id, l.lang, count(*) AS c"
+        " FROM tok t JOIN lex l ON t.wd = l.wd GROUP BY 1, 2),"
+        " best AS (SELECT doc_id, lang, c, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY c DESC, lang ASC) rn FROM counts)"
+        " SELECT w.doc_id,"
+        " CASE WHEN b.c IS NULL THEN 'und' ELSE b.lang END AS lang_pred,"
+        " CASE WHEN b.c IS NULL THEN 0.0"
+        " ELSE CAST(b.c AS DOUBLE) / len(w.ws) END AS lang_score"
+        " FROM w LEFT JOIN (SELECT * FROM best WHERE rn = 1) b"
+        " USING (doc_id)"
+    )
     return {
+        "jaccard_pairs_documents": (
+            f"{shingle_cte}"
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            f" round({jaccard_expr}, 6) AS jaccard"
+            " FROM d a JOIN d b ON a.doc_id < b.doc_id"
+            f" WHERE {jaccard_expr} >= 0.8"
+        ),
+        "ngram_jaccard_dedup_documents": (
+            f"{shingle_cte}"
+            " SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+            "SELECT b.doc_id FROM d a JOIN d b ON a.doc_id < b.doc_id"
+            f" WHERE {jaccard_expr} >= 0.8)"
+        ),
+        "langid_documents": langid_oracle,
         "size_lineitem": "SELECT CAST(count(*) AS DOUBLE) AS size_value FROM lineitem",
         "completeness_documents_text": (
             "SELECT CAST(count(text) AS DOUBLE)/count(*) AS completeness"
@@ -719,6 +791,8 @@ def oracle_sql() -> dict[str, str]:
             "embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine"
             " FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 5"
         ),
-        # minhash_dedup_documents / simhash_signatures_documents:
-        # LSH ops are not SQL-expressible -> rows-only checks.
+        # Rows-only (genuinely un-oracle-able in DuckDB):
+        # minhash_dedup_documents, simhash_signatures_documents,
+        # fingerprints_documents (crc32/xxhash64 kernels absent from
+        # DuckDB), near_dup_pairs_embeddings (seeded LSH planes).
     }

@@ -15,6 +15,7 @@ from .dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,
+    jaccard_similar_pairs,
     minhash_signatures,
     ngram_jaccard_dedup,
     simhash_dedup,
@@ -50,6 +51,7 @@ __all__ = [
     "embedding_near_duplicates",
     "exact_dedup",
     "ivf_topk",
+    "jaccard_similar_pairs",
     "language_distribution",
     "lsh_bucketed_topk",
     "lsh_candidate_pairs",

@@ -385,6 +385,103 @@ def dedup_by_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def _shingle_str_col(text_col: str, shingle_size: int):
+    """Distinct word ``shingle_size``-gram STRINGS as a Catalyst array
+    expression (tokens = non-empty chunks of a whitespace split; docs
+    shorter than the shingle size contribute their full text as the
+    single shingle, mirroring ``_shingle_hashes``)."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    k = shingle_size
+    return F.when(
+        F.size(words) < k, F.array(F.array_join(words, " "))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), k)),
+            )
+        )
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join: all pairs with n-gram Jaccard
+    >= threshold — guaranteed recall 1.0, unlike the probabilistic LSH
+    candidates.  Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    Plan (AllPairs prefix filtering, Bayardo et al., WWW'07): each
+    doc's distinct shingles are sorted under a global total order and
+    only the first ``|x| - ceil(t*|x|) + 1`` are indexed — any pair
+    with Jaccard >= t must share an indexed shingle, so candidate
+    generation is an equi-join on prefix shingles (never all-pairs) and
+    verification is a JVM ``array_intersect`` on the full shingle
+    arrays.  Everything is Catalyst (split/transform/slice), no Python.
+
+    Scale notes: candidate volume is bounded by prefix-shingle
+    collisions; stop-shingle skew (a hot shingle shared by millions of
+    docs) should be handled by ordering the global shingle order by
+    ascending document frequency (rarest-first prefixes), which this
+    implementation approximates with lexicographic order — swap in a
+    frequency-ranked order for adversarial corpora.
+    """
+    k = shingle_size
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(_shingle_str_col(text_col, k)).alias("sh"),
+    ).persist()
+    try:
+        prefix_len = (
+            F.size("sh")
+            - F.ceil(F.lit(threshold) * F.size("sh")).cast("int")
+            + F.lit(1)
+        )
+        index = sh.select(
+            "id",
+            F.explode(F.slice("sh", 1, prefix_len)).alias("shingle"),
+        )
+        cand = (
+            index.alias("l")
+            .join(
+                index.alias("r"),
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .distinct()
+        )
+        sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        out = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (inter.cast("double") / union.cast("double")).alias(
+                    "jaccard"
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint()  # materialize before releasing sh
+        )
+    finally:
+        sh.unpersist()
+    return out
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     id_col: str,
@@ -393,15 +490,29 @@ def ngram_jaccard_dedup(
     shingle_size: int = 3,
     n_hashes: int = 64,
     n_bands: int = 16,
+    exact: bool = True,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with EXACT n-gram Jaccard
-    (shingle-set intersection over union, computed JVM-side on shingle
-    hash arrays).
+    """Drop rows whose EXACT n-gram Jaccard vs any smaller-id match is
+    >= threshold (greedy-by-id survivor policy).
 
-    Both per-doc Arrow kernels (minhash signatures, shingle arrays) are
-    persisted across their multiple plan branches so each document is
+    ``exact=True`` (default): candidates from the lossless AllPairs
+    prefix-filter index (:func:`jaccard_similar_pairs`) — guaranteed
+    recall 1.0, fully SQL-equivalent semantics (DuckDB-oracled in the
+    contract suite).
+
+    ``exact=False``: candidates from MinHash-LSH banding (probabilistic
+    recall), verified with exact Jaccard on crc32 shingle-hash arrays —
+    the cheaper variant when a bounded miss rate is acceptable.  Both
+    per-doc Arrow kernels (minhash signatures, shingle arrays) are
+    persisted across their plan branches so each document is
     shingled/hashed exactly once; released after the loser-id set is
     materialized."""
+    if exact:
+        pairs = jaccard_similar_pairs(
+            df, id_col, text_col, threshold, shingle_size
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes, shingle_size
     ).persist()

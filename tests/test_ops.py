@@ -111,10 +111,40 @@ class TestMinHash:
         assert {3, 4}.issubset(ids)  # unrelated docs survive
 
     def test_ngram_jaccard_dedup_exact_verify(self, docs):
-        out = ngram_jaccard_dedup(docs, "id", threshold=0.8)
-        ids = {r["id"] for r in out.collect()}
-        assert 1 not in ids and 0 in ids
-        assert {3, 4}.issubset(ids)
+        for exact in (True, False):
+            out = ngram_jaccard_dedup(docs, "id", threshold=0.8, exact=exact)
+            ids = {r["id"] for r in out.collect()}
+            assert 1 not in ids and 0 in ids, exact
+            assert {3, 4}.issubset(ids), exact
+
+    def test_jaccard_similar_pairs_matches_brute_force(self, docs):
+        import itertools
+
+        from hooqu_spark.ops import jaccard_similar_pairs
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_similar_pairs(
+                docs, "id", threshold=0.5
+            ).collect()
+        }
+
+        def shingles(t, k=3):
+            w = (t or "").split()
+            if len(w) < k:
+                return {" ".join(w)}
+            return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+        rows = {r["id"]: r["text"] for r in docs.collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(rows), 2):
+            sa, sb = shingles(rows[a]), shingles(rows[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                want[(a, b)] = j
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, abs=1e-12)
 
 
 class TestSimHash:
