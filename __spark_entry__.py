@@ -407,6 +407,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, id_col="vec_id", vec_col="e", threshold=0.3, n_planes=3
         ).select("id_a", "id_b")
 
+    def media_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Multimodal binary plumbing end-to-end on a REAL binary column:
+        # a deterministic payload is synthesized from each document
+        # (html wrapper for every 3rd doc), then the mapInPandas decode
+        # stage attaches typed metadata.  n_bytes (octet length) and the
+        # magic-sniffed format are SQL-expressible -> oracled; the
+        # stubbed decode's width/height are covered by pytest.
+        from hooqu_spark.ops.multimodal import attach_binary_metadata
+
+        df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        text = F.coalesce(F.col("text"), F.lit(""))
+        payload = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.encode(
+                F.concat(
+                    F.lit("<html><body>"), text, F.lit("</body></html>")
+                ),
+                "utf-8",
+            ),
+        ).otherwise(F.encode(text, "utf-8"))
+        with_bin = df.withColumn("payload", payload)
+        out = attach_binary_metadata(with_bin, "payload")
+        return out.select(
+            "doc_id",
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.col("media_meta.format").alias("format"),
+        )
+
     def fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # xxhash64 fingerprints are JVM-specific -> rows-only check.
         from hooqu_spark.ops import document_fingerprints
@@ -514,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": ivf_topk_query,
         "minhash_dedup_documents": minhash_dedup_query,
         "simhash_signatures_documents": simhash_query,
+        "media_metadata_documents": media_metadata_query,
         "fingerprints_documents": fingerprints_query,
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
         "jaccard_pairs_documents": jaccard_pairs_query,
@@ -582,6 +611,17 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE {jaccard_expr} >= 0.8)"
         ),
         "langid_documents": langid_oracle,
+        "media_metadata_documents": (
+            # payload construction mirrored exactly; the html wrapper
+            # trips the '<htm' magic in the sniffer, plain text does not
+            "SELECT doc_id,"
+            " CAST(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode("
+            "'<html><body>' || coalesce(text, '') || '</body></html>'))"
+            " ELSE octet_length(encode(coalesce(text, ''))) END AS INTEGER)"
+            " AS n_bytes,"
+            " CASE WHEN doc_id % 3 = 0 THEN 'html' ELSE 'unknown' END"
+            " AS format FROM documents"
+        ),
         "size_lineitem": "SELECT CAST(count(*) AS DOUBLE) AS size_value FROM lineitem",
         "completeness_documents_text": (
             "SELECT CAST(count(text) AS DOUBLE)/count(*) AS completeness"

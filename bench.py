@@ -237,8 +237,10 @@ def main() -> None:
         hw_ratio = hw_rate[hi_cores] / hw_rate[lo_cores]
 
         # the scaling job needs enough work that fixed per-job costs
-        # (scheduling, scan setup) don't mask the parallel fraction
-        scaling_docs = max(N_DOCS, 480000)
+        # (scheduling, scan setup) don't mask the parallel fraction;
+        # 128 partitions = 4 waves at c32 (bounds straggler loss) while
+        # keeping serial driver-side task scheduling at ~0.5s
+        scaling_docs = max(N_DOCS, 960000)
         scaling_dir = PAGES_DIR + "_scaling"
         if scaling_docs == N_DOCS:
             scaling_dir = PAGES_DIR
@@ -246,7 +248,7 @@ def main() -> None:
             s = make_session(CPUS)
             from hooqu_spark.pipeline import synthesize as _synth
 
-            _synth(s, scaling_docs, partitions=256).write.mode(
+            _synth(s, scaling_docs, partitions=128).write.mode(
                 "overwrite"
             ).parquet(scaling_dir)
             s.stop()
@@ -282,8 +284,15 @@ def main() -> None:
         # (single shared VM != two clusters; see BENCH/BASELINE.md)
         queries["scaling_efficiency"] = queries["scaling_efficiency_hw_normalized"]
 
+    # headline total = the sf-scaled queries only; the scaling-evidence
+    # runs (pipeline_sec_c8/c32 over the larger fixed-size corpus) are
+    # reported as their own keys, not folded into the total
     total = round(
-        sum(v for k, v in queries.items() if not k.startswith(("pipeline_docs", "scaling"))),
+        sum(
+            v
+            for k, v in queries.items()
+            if not k.startswith(("pipeline_docs", "pipeline_sec_c", "scaling"))
+        ),
         3,
     )
     sf = SF_DIR.rstrip("/").split("sf")[-1]

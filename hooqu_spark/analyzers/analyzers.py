@@ -437,7 +437,15 @@ class Compliance(ScanShareableAnalyzer):
     """Fraction of rows satisfying a predicate; NULL/NaN predicate
     results count in the denominator only — identical to the pandas
     ``eval``+``sum`` kernel (``hooqu/analyzers/compliance.py:33-40``).
-    Executed as a conditional aggregate, fully JVM-side."""
+    Executed as a conditional aggregate, fully JVM-side.
+
+    Predicate dialect note: comparisons follow Spark SQL semantics —
+    NULL comparisons yield NULL (row not counted as compliant) and NaN
+    sorts GREATER than any number, so ``col > 10`` is TRUE for NaN.
+    pandas ``eval`` instead makes every NaN comparison except ``!=``
+    False; the two dialects cannot be mechanically aligned for
+    arbitrary predicates, so the Spark behavior is the documented one
+    (pinned in test_random_frames.py)."""
 
     def __init__(self, instance: str, predicate: str, where: Optional[str] = None):
         super().__init__("Compliance", instance, Entity.COLUMN, where)

@@ -195,6 +195,72 @@ def _train_centroids(
     return centroids
 
 
+def _train_centroids_distributed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    sample_size: int = 65536,
+    n_iters: int = 8,
+    seed: int = 29,
+) -> np.ndarray:
+    """Spherical k-means where each Lloyd iteration is a Spark job —
+    the 10^12-scale path: no vector ever collects to the driver except
+    the (n_centroids x dim) mean table.
+
+    * sample: deterministic hash sample (``xxhash64(id) % m``) sized to
+      ~``sample_size`` rows — stable across partitionings and retries.
+    * init: the ``n_centroids`` smallest-id sample vectors
+      (deterministic).
+    * iterate: assign via the Arrow GEMV udf, then
+      ``posexplode -> groupBy(list, dim).avg`` computes per-centroid
+      means map-side-combined; only n_centroids*dim tiny rows collect.
+    """
+    total = df.count()
+    if total > sample_size:
+        mod = max(1, total // sample_size)
+        sample = df.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
+    else:
+        sample = df
+    sample = sample.select(id_col, vec_col).persist()
+    try:
+        init = [
+            np.asarray(r[1], dtype=np.float64)
+            for r in sample.orderBy(id_col).limit(n_centroids).collect()
+        ]
+        centroids = np.stack(init)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        dim = centroids.shape[1]
+        for _ in range(n_iters):
+            assigned = sample.withColumn(
+                "_c", ivf_assign_udf(centroids)(F.col(vec_col))
+            )
+            rows = (
+                assigned.select("_c", F.posexplode(vec_col))
+                .groupBy("_c", "pos")
+                .agg(F.avg("col").alias("m"))
+                .collect()
+            )
+            new = centroids.copy()
+            for r in rows:
+                new[r["_c"], r["pos"]] = r["m"]
+            new /= np.maximum(
+                np.linalg.norm(new, axis=1, keepdims=True), 1e-12
+            )
+            if np.allclose(new, centroids, atol=1e-9):
+                centroids = new
+                break
+            centroids = new
+        assert centroids.shape == (n_centroids, dim)
+        return centroids
+    finally:
+        sample.unpersist()
+
+
 def ivf_assign_udf(centroids: np.ndarray):
     from pyspark.sql.functions import pandas_udf
 
@@ -216,16 +282,28 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 29,
+    distributed_training: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every vector to
     its nearest of ``n_centroids`` spherical-k-means centroids, then
     scan only the ``n_probe`` lists nearest the query.
 
+    ``distributed_training=True`` trains centroids with Spark-job Lloyd
+    iterations over a hash sample (the 10^12-scale path); the default
+    driver-side numpy k-means suits small/medium tables.
+
     Scale path: materialize the assignment once and partition the
     table by it — the probe becomes a partition-pruned scan of
     ``n_probe/n_centroids`` of the data.  Recall rises with
     ``n_probe`` (== n_centroids is exhaustive/exact)."""
-    centroids = _train_centroids(df, vec_col, id_col, n_centroids, seed=seed)
+    if distributed_training:
+        centroids = _train_centroids_distributed(
+            df, vec_col, id_col, n_centroids, seed=seed
+        )
+    else:
+        centroids = _train_centroids(
+            df, vec_col, id_col, n_centroids, seed=seed
+        )
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_lists = np.argsort(-(centroids @ qn))[:n_probe].tolist()

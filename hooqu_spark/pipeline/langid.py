@@ -58,3 +58,36 @@ def score_tokens(tokens: Iterable[str]) -> Tuple[str, float]:
 
 
 DEFAULT_LANGID = LexiconLangId()
+
+
+def langid_scores(df, model: LangIdModel = DEFAULT_LANGID, text_col: str = "text"):
+    """Adapter: run any :class:`LangIdModel` over a DataFrame in
+    Arrow-batched ``mapInPandas`` calls — ONE ``predict_tokens`` call
+    per batch (how a real fastText model wants to be fed), never
+    per-row Python.  Returns the input columns plus
+    ``(lang_pred, lang_score)``.
+
+    The model object is shipped to executors via cloudpickle; a real
+    fastText wrapper should lazy-load its binary in ``predict_tokens``
+    (executor-side) rather than pickling the model weights.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("lang_pred", T.StringType()),
+            T.StructField("lang_score", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            tokens = [(t or "").split() for t in pdf[text_col].tolist()]
+            preds = model.predict_tokens(tokens)
+            out = pdf.copy()
+            out["lang_pred"] = [p[0] for p in preds]
+            out["lang_score"] = [float(p[1]) for p in preds]
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)

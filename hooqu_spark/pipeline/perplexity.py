@@ -63,3 +63,26 @@ def doc_log_ppl(tokens: Iterable[str]) -> float:
 
 
 DEFAULT_LM = HashUnigramLM()
+
+
+def perplexity_scores(
+    df, model: PerplexityModel = DEFAULT_LM, text_col: str = "text"
+):
+    """Adapter: run any :class:`PerplexityModel` over a DataFrame in
+    Arrow-batched ``mapInPandas`` calls — one ``log_ppl_tokens`` call
+    per batch (KenLM-style models score batches efficiently).  Returns
+    the input columns plus ``log_ppl``."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("log_ppl", T.DoubleType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            tokens = [(t or "").split() for t in pdf[text_col].tolist()]
+            out = pdf.copy()
+            out["log_ppl"] = [float(v) for v in model.log_ppl_tokens(tokens)]
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)

@@ -194,6 +194,96 @@ class TestSimilarity:
         pairs = embedding_near_duplicates(vecs, threshold=0.999).collect()
         assert any(r["id_a"] == 3 and r["id_b"] == 7 for r in pairs)
 
+    def test_ivf_distributed_training_full_probe_exact(self, vecs):
+        # distributed Lloyd training (Spark-job iterations) + full probe
+        # must equal the exact brute-force top-k
+        from hooqu_spark.ops import brute_force_topk, ivf_topk
+
+        pdf = vecs.toPandas()
+        q = np.asarray(pdf["embedding"].tolist())[3].tolist()
+        want = [r["vec_id"] for r in brute_force_topk(vecs, q, k=5).collect()]
+        got = [
+            r["vec_id"]
+            for r in ivf_topk(
+                vecs, q, k=5, n_centroids=8, n_probe=8,
+                distributed_training=True,
+            ).collect()
+        ]
+        assert got == want
+
+    def test_ivf_distributed_partial_probe_recall(self, vecs):
+        from hooqu_spark.ops import brute_force_topk, ivf_topk
+
+        pdf = vecs.toPandas()
+        q = np.asarray(pdf["embedding"].tolist())[3].tolist()
+        want = {r["vec_id"] for r in brute_force_topk(vecs, q, k=5).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                vecs, q, k=5, n_centroids=8, n_probe=4,
+                distributed_training=True,
+            ).collect()
+        }
+        # probing half the lists must still find the query itself and
+        # its engineered near-duplicate
+        assert {3, 7}.issubset(got)
+        assert len(got & want) >= 3
+
+
+class TestDuplicateClustersAdversarial:
+    def test_long_chain_converges_within_iteration_budget(self, spark):
+        # path graph 0-1-2-...-39: diameter 39; min-label propagation
+        # moves the 0 label ONE hop per round, so convergence needs 39
+        # rounds — within an explicit budget of 50
+        from hooqu_spark.ops import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+        )
+        labels = {
+            r["id"]: r["cluster"]
+            for r in duplicate_clusters(pairs, max_iterations=50).collect()
+        }
+        assert set(labels.values()) == {0}
+        assert len(labels) == 40
+
+    def test_max_iterations_caps_propagation(self, spark):
+        # the documented limitation: a chain longer than max_iterations
+        # is NOT fully collapsed (the large-star/small-star scheme is
+        # the O(log n) switch for adversarial chains at scale)
+        from hooqu_spark.ops import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+        )
+        labels = {
+            r["id"]: r["cluster"]
+            for r in duplicate_clusters(pairs, max_iterations=5).collect()
+        }
+        assert labels[5] == 0       # within 5 hops: collapsed
+        assert labels[39] != 0      # beyond the budget: still separate
+        # labels are monotone non-increasing toward the chain head
+        assert all(labels[i] <= i for i in labels)
+
+    def test_bridged_clusters_merge(self, spark):
+        from hooqu_spark.ops import dedup_by_clusters, duplicate_clusters
+
+        # two triangles bridged by one edge -> single cluster
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        labels = {
+            r["id"]: r["cluster"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert set(labels.values()) == {0}
+        df = spark.createDataFrame(
+            [(i,) for i in [0, 1, 2, 10, 11, 12, 99]], "id long"
+        )
+        survivors = {
+            r["id"] for r in dedup_by_clusters(df, pairs, "id").collect()
+        }
+        assert survivors == {0, 99}
+
 
 class TestText:
     def test_token_counts_matches_python(self, docs):
