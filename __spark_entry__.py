@@ -407,6 +407,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, id_col="vec_id", vec_col="e", threshold=0.3, n_planes=3
         ).select("id_a", "id_b")
 
+    def line_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # C4/CCNet-style boilerplate removal: drop lines occurring > 2
+        # times corpus-wide, rebuild docs in line order.
+        from hooqu_spark.ops import dedup_lines_by_frequency
+
+        df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        out = dedup_lines_by_frequency(df, "doc_id", max_occurrences=2)
+        return out.select(
+            "doc_id", "text", F.col("n_lines_removed").cast("long").alias("n_lines_removed")
+        )
+
+    def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Deterministic md5-hash stratified sampling (engine-portable:
+        # the oracle reproduces the exact same keep set in DuckDB).
+        from hooqu_spark.ops import stratified_sample
+
+        df = _t(spark, sf_dir, "documents")
+        out = stratified_sample(
+            df, "lang", {"en": 0.5, "de": 0.25}, "doc_id"
+        )
+        return out.select("doc_id", "lang")
+
+    def contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Benchmark decontamination: docs 0-4 act as the "eval set";
+        # overlap = distinct shared 3-gram shingles (broadcast join).
+        from hooqu_spark.ops import flag_contamination
+
+        df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        bench = df.where(F.col("doc_id") < 5)
+        return flag_contamination(df, bench, "doc_id", min_overlap=5)
+
     def media_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Multimodal binary plumbing end-to-end on a REAL binary column:
         # a deterministic payload is synthesized from each document
@@ -546,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints_documents": fingerprints_query,
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
         "jaccard_pairs_documents": jaccard_pairs_query,
+        "line_dedup_documents": line_dedup_query,
+        "stratified_sample_documents": stratified_sample_query,
+        "contamination_documents": contamination_query,
         "langid_documents": langid_query,
         "near_dup_pairs_embeddings": near_dup_pairs_query,
     }
@@ -611,6 +645,42 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE {jaccard_expr} >= 0.8)"
         ),
         "langid_documents": langid_oracle,
+        "line_dedup_documents": (
+            "WITH ls AS (SELECT doc_id,"
+            " string_split(coalesce(text,''), chr(10)) AS arr FROM documents),"
+            " ex AS (SELECT doc_id, unnest([{'ord': i, 'line': arr[i]}"
+            " for i in range(1, len(arr)+1)]) AS u FROM ls),"
+            " l AS (SELECT doc_id, u.ord AS ord, u.line AS line FROM ex),"
+            " f AS (SELECT line FROM l GROUP BY line HAVING count(*) > 2),"
+            " kept AS (SELECT l.doc_id, l.ord, l.line FROM l"
+            " WHERE l.line NOT IN (SELECT line FROM f)),"
+            " r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord)"
+            " AS new_text, count(*) AS n_kept FROM kept GROUP BY doc_id)"
+            " SELECT ls.doc_id, coalesce(r.new_text, '') AS text,"
+            " len(ls.arr) - coalesce(r.n_kept, 0) AS n_lines_removed"
+            " FROM ls LEFT JOIN r USING (doc_id)"
+        ),
+        "stratified_sample_documents": (
+            # identical md5-derived uniform hash as the Spark op
+            "SELECT doc_id, lang FROM documents"
+            " WHERE (lang = 'en' AND ('0x' ||"
+            " substr(md5(CAST(doc_id AS VARCHAR)),1,8))::UBIGINT"
+            " < CAST(0.5 * 4294967296 AS UBIGINT))"
+            " OR (lang = 'de' AND ('0x' ||"
+            " substr(md5(CAST(doc_id AS VARCHAR)),1,8))::UBIGINT"
+            " < CAST(0.25 * 4294967296 AS UBIGINT))"
+        ),
+        "contamination_documents": (
+            f"{shingle_cte},"
+            " b AS (SELECT DISTINCT t.s FROM"
+            " (SELECT unnest(sh) AS s FROM d WHERE doc_id < 5) t),"
+            " ov AS (SELECT t.doc_id, count(*) AS n_overlap FROM"
+            " (SELECT doc_id, unnest(sh) AS s FROM d) t"
+            " JOIN b ON t.s = b.s GROUP BY t.doc_id)"
+            " SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,"
+            " coalesce(ov.n_overlap, 0) >= 5 AS contaminated"
+            " FROM d LEFT JOIN ov USING (doc_id)"
+        ),
         "media_metadata_documents": (
             # payload construction mirrored exactly; the html wrapper
             # trips the '<htm' magic in the sniffer, plain text does not

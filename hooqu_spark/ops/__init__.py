@@ -9,6 +9,11 @@ where possible, Arrow-batched numpy kernels where not, shuffles only
 on bucketed candidate keys (never all-pairs).
 """
 
+from .corpus import (
+    dedup_lines_by_frequency,
+    flag_contamination,
+    stratified_sample,
+)
 from .dedup import (
     dedup_by_clusters,
     duplicate_clusters,
@@ -46,10 +51,12 @@ __all__ = [
     "brute_force_topk",
     "cosine_scores",
     "dedup_by_clusters",
+    "dedup_lines_by_frequency",
     "document_fingerprints",
     "duplicate_clusters",
     "embedding_near_duplicates",
     "exact_dedup",
+    "flag_contamination",
     "ivf_topk",
     "jaccard_similar_pairs",
     "language_distribution",
@@ -64,6 +71,7 @@ __all__ = [
     "salted_numeric_summary",
     "sample_to_token_budget",
     "simhash_dedup",
+    "stratified_sample",
     "simhash_signatures",
     "token_counts",
     "top_hot_keys",
