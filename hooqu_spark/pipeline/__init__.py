@@ -5,6 +5,7 @@ from .core import (
     gating_checks,
     lineage_analyzers,
     run_pipeline,
+    streaming_quality_filter,
 )
 from .spec import DEFAULT_RULES, RuleSet
 from .synth import make_doc, make_docs_pdf, synthesize
@@ -20,5 +21,6 @@ __all__ = [
     "make_doc",
     "make_docs_pdf",
     "run_pipeline",
+    "streaming_quality_filter",
     "synthesize",
 ]

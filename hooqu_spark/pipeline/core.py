@@ -253,3 +253,31 @@ def run_pipeline(
         processed_buckets=processed,
         resumed_buckets=sorted(committed),
     )
+
+
+def streaming_quality_filter(
+    stream_df: DataFrame,
+    rules: RuleSet = DEFAULT_RULES,
+    text_col: str = "text",
+) -> DataFrame:
+    """The quality pipeline as a STREAMING transformation: enrich (the
+    same single-pass Arrow UDF — stateless, so it runs unchanged inside
+    micro-batches) -> Catalyst rule columns -> keep-filter.
+
+    Returns a streaming DataFrame of kept rows with all feature/rule
+    columns; the caller picks sink/trigger/checkpoint::
+
+        kept = streaming_quality_filter(spark.readStream.schema(s).parquet(src))
+        q = (kept.writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+
+    Pair with :class:`hooqu_spark.streaming.StreamingVerification` (on
+    the same source) for cumulative quality metrics, or
+    ``WindowedMetrics`` keyed on ``warc_ts`` for event-time windows
+    with late-data handling.  Exactly-once delivery comes from the
+    sink checkpoint; determinism of every feature column (hash-based
+    kernels, no rand) makes replayed batches byte-identical.
+    """
+    enriched = apply_rules(enrich(stream_df, text_col=text_col), rules)
+    return enriched.where(F.col("keep"))
