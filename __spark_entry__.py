@@ -407,6 +407,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, id_col="vec_id", vec_col="e", threshold=0.3, n_planes=3
         ).select("id_a", "id_b")
 
+    def canonical_url_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # URL canonicalization over deterministic synthetic URLs derived
+        # from event_id (testdata has no url column): exercises fragment
+        # strip, scheme/host lowercasing, default-port removal and
+        # trailing-slash stripping; oracle replays the identical regex
+        # pipeline in DuckDB.
+        from hooqu_spark.ops import canonicalize_urls
+
+        e = F.col("event_id")
+        url = F.concat(
+            F.lit("HTTPS://Host"),
+            (e % 7).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(e % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Path/"),
+            e.cast("string"),
+            F.when(e % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(e % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+        df = _t(spark, sf_dir, "events").select("event_id").withColumn(
+            "url", url
+        )
+        return canonicalize_urls(df).select(
+            "event_id", "canonical_url", "host"
+        )
+
     def line_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # C4/CCNet-style boilerplate removal: drop lines occurring > 2
         # times corpus-wide, rebuild docs in line order.
@@ -577,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints_documents": fingerprints_query,
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
         "jaccard_pairs_documents": jaccard_pairs_query,
+        "canonical_urls_events": canonical_url_query,
         "line_dedup_documents": line_dedup_query,
         "stratified_sample_documents": stratified_sample_query,
         "contamination_documents": contamination_query,
@@ -645,6 +672,33 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE {jaccard_expr} >= 0.8)"
         ),
         "langid_documents": langid_oracle,
+        "canonical_urls_events": (
+            "WITH u0 AS (SELECT event_id,"
+            " 'HTTPS://Host' || CAST(event_id % 7 AS VARCHAR)"
+            " || '.Example.COM'"
+            " || (CASE WHEN event_id % 3 = 0 THEN ':443' ELSE '' END)"
+            " || '/Path/' || CAST(event_id AS VARCHAR)"
+            " || (CASE WHEN event_id % 4 = 0 THEN '/' ELSE '' END)"
+            " || (CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END)"
+            " AS url FROM events),"
+            " s1 AS (SELECT event_id, url,"
+            " regexp_replace(url, '#.*$', '') AS u FROM u0),"
+            " s2 AS (SELECT event_id, url,"
+            " lower(regexp_extract(u,"
+            " '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))"
+            " || substr(u, length(regexp_extract(u,"
+            " '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u"
+            " FROM s1),"
+            " s3 AS (SELECT event_id, url, regexp_replace(regexp_replace(u,"
+            " '^(https://[^/:?#]*):443($|[/?#])', '\\1\\2'),"
+            " '^(http://[^/:?#]*):80($|[/?#])', '\\1\\2') AS u FROM s2),"
+            " s4 AS (SELECT event_id, url,"
+            " regexp_replace(u, '/+$', '') AS u FROM s3)"
+            " SELECT event_id, u AS canonical_url,"
+            " lower(regexp_extract(url,"
+            " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))"
+            " AS host FROM s4"
+        ),
         "line_dedup_documents": (
             "WITH ls AS (SELECT doc_id,"
             " string_split(coalesce(text,''), chr(10)) AS arr FROM documents),"

@@ -39,6 +39,12 @@ from .skew import (
     salted_numeric_summary,
     top_hot_keys,
 )
+from .web import (
+    canonicalize_urls,
+    host_col,
+    host_counts,
+    url_dedup,
+)
 from .text import (
     document_fingerprints,
     language_distribution,
@@ -49,6 +55,7 @@ from .text import (
 
 __all__ = [
     "brute_force_topk",
+    "canonicalize_urls",
     "cosine_scores",
     "dedup_by_clusters",
     "dedup_lines_by_frequency",
@@ -57,6 +64,8 @@ __all__ = [
     "embedding_near_duplicates",
     "exact_dedup",
     "flag_contamination",
+    "host_col",
+    "host_counts",
     "ivf_topk",
     "jaccard_similar_pairs",
     "language_distribution",
@@ -74,5 +83,6 @@ __all__ = [
     "stratified_sample",
     "simhash_signatures",
     "token_counts",
+    "url_dedup",
     "top_hot_keys",
 ]

@@ -119,3 +119,53 @@ class TestContamination:
         bench = spark.createDataFrame([(1, "x y z")], "qid long, text string")
         plan = flag_contamination(train, bench, "doc_id")._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan
+
+
+class TestWebOps:
+    @pytest.fixture(scope="class")
+    def urls(self, spark):
+        rows = [
+            (0, "HTTPS://Example.COM:443/Path/One#frag"),
+            (1, "https://example.com/Path/One"),       # same canonical as 0
+            (2, "http://Sub.Example.com:80/"),
+            (3, "http://sub.example.com"),             # same canonical as 2
+            (4, "https://example.com/Path/One?q=1"),   # query kept
+            (5, "https://user:pw@example.com:8443/x"), # userinfo + odd port
+            (6, "not a url"),
+            (7, None),
+        ]
+        return spark.createDataFrame(rows, "id long, url string")
+
+    def test_canonical_form(self, urls):
+        from hooqu_spark.ops import canonicalize_urls
+
+        out = {
+            r["id"]: (r["canonical_url"], r["host"])
+            for r in canonicalize_urls(urls).collect()
+        }
+        assert out[0] == ("https://example.com/Path/One", "example.com")
+        assert out[1] == ("https://example.com/Path/One", "example.com")
+        assert out[2] == ("http://sub.example.com", "sub.example.com")
+        assert out[3] == ("http://sub.example.com", "sub.example.com")
+        assert out[4] == ("https://example.com/Path/One?q=1", "example.com")
+        assert out[5] == ("https://user:pw@example.com:8443/x", "example.com")
+        assert out[6] == ("not a url", "")
+        assert out[7] == ("", "")
+
+    def test_url_dedup_collapses_variants(self, urls):
+        from hooqu_spark.ops import url_dedup
+
+        ids = {r["id"] for r in url_dedup(urls, "id").collect()}
+        assert 0 in ids and 1 not in ids
+        assert 2 in ids and 3 not in ids
+        assert {4, 5, 6, 7}.issubset(ids)
+
+    def test_host_counts(self, urls):
+        from hooqu_spark.ops import host_counts
+
+        counts = {
+            r["host"]: r["count"] for r in host_counts(urls).collect()
+        }
+        assert counts["example.com"] == 4
+        assert counts["sub.example.com"] == 2
+        assert counts[""] == 2
