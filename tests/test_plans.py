@@ -1,0 +1,150 @@
+"""Physical-plan assertions for the scale-critical properties.
+
+These tests never run jobs — they stringify `executedPlan` (AQE is off
+in the test session, so plans are static) and pin the properties that
+make the engine viable at 100 TB:
+
+* metric suites compile to ONE scan + ONE exchange;
+* scans are column-pruned to the referenced columns;
+* `where` filters on grouping analyzers push down to the parquet scan;
+* grand totals broadcast (never an empty-spec window);
+* dedup keys shuffle exactly once; pure-predicate ops don't shuffle;
+* no operator ever plans a CartesianProduct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestFusedAggregatePlan:
+    def test_one_scan_one_exchange_column_pruned(self, lineitem):
+        from hooqu_spark.analyzers import Mean, Minimum, Size, Sum
+        from hooqu_spark.analyzers.base import apply_projections
+
+        analyzers = [
+            Size(),
+            Minimum("l_quantity"),
+            Sum("l_quantity"),
+            Mean("l_extendedprice"),
+            Minimum("l_quantity", where="l_linenumber > 1"),
+        ]
+        agg_input = apply_projections(lineitem, analyzers)
+        exprs = []
+        for a in analyzers:
+            exprs.extend(a.aggregation_exprs(agg_input))
+        job = agg_input.agg(*(e.alias(f"_x{i}") for i, e in enumerate(exprs)))
+        p = plan_str(job)
+        assert p.count("Scan parquet") == 1  # every analyzer shares ONE scan
+        assert p.count("Exchange") == 1      # single aggregate-buffer exchange
+        # column pruning: only the three referenced columns are read
+        read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+        assert "l_quantity" in read_schema
+        assert "l_extendedprice" in read_schema
+        assert "l_linenumber" in read_schema
+        assert "l_orderkey" not in read_schema
+        assert "l_comment" not in read_schema
+
+    def test_where_fuses_as_conditional_aggregate_not_second_scan(
+        self, lineitem
+    ):
+        # two differently-filtered Minimums still = one scan
+        from hooqu_spark.analyzers import Minimum
+        from hooqu_spark.analyzers.base import apply_projections
+
+        analyzers = [
+            Minimum("l_quantity"),
+            Minimum("l_quantity", where="l_returnflag == 'A'"),
+        ]
+        agg_input = apply_projections(lineitem, analyzers)
+        exprs = []
+        for a in analyzers:
+            exprs.extend(a.aggregation_exprs(agg_input))
+        p = plan_str(
+            agg_input.agg(*(e.alias(f"_x{i}") for i, e in enumerate(exprs)))
+        )
+        assert p.count("Scan parquet") == 1
+
+
+class TestPushdownPlans:
+    def test_grouping_where_pushes_to_scan(self, lineitem):
+        from hooqu_spark.analyzers import FrequencyBasedAnalyzer
+
+        state = FrequencyBasedAnalyzer.compute_frequencies(
+            lineitem, ["l_returnflag"], where="l_quantity > 10"
+        )
+        p = plan_str(state.frequencies)
+        pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+        assert "GreaterThan(l_quantity,10" in pushed
+
+    def test_stratified_sample_is_pure_predicate(self, documents):
+        from hooqu_spark.ops import stratified_sample
+
+        out = stratified_sample(documents, "lang", {"en": 0.5}, "doc_id")
+        p = plan_str(out)
+        assert "Exchange" not in p  # no shuffle: a per-row keep predicate
+        pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+        assert "In(lang" in pushed or "EqualTo(lang" in pushed
+
+
+class TestBroadcastAndShuffle:
+    def test_histogram_total_broadcasts_no_window(self, lineitem):
+        from hooqu_spark.analyzers import Histogram
+
+        dist = Histogram("l_returnflag").distribution(lineitem)
+        p = plan_str(dist)
+        assert "BroadcastNestedLoopJoin" in p  # 1-row grand total
+        assert "Window" not in p               # never an empty-spec window
+
+    def test_exact_dedup_single_key_shuffle(self, documents):
+        from hooqu_spark.ops import exact_dedup
+
+        out = exact_dedup(documents, ["lang", "source"], "doc_id")
+        p = plan_str(out)
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "lang" in p.split("Exchange hashpartitioning", 1)[1][:80]
+
+    def test_contamination_benchmark_broadcasts(self, documents):
+        from hooqu_spark.ops import flag_contamination
+
+        bench = documents.where(F.col("doc_id") < 5)
+        out = flag_contamination(documents, bench, "doc_id")
+        assert "BroadcastHashJoin" in plan_str(out)
+
+
+class TestNoCartesianProducts:
+    def test_near_duplicates_join_is_keyed(self, spark):
+        from hooqu_spark.ops import embedding_near_duplicates
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        p = plan_str(embedding_near_duplicates(vecs, threshold=0.9, n_planes=2))
+        assert "CartesianProduct" not in p
+
+    def test_lsh_candidate_join_is_keyed(self, documents):
+        from hooqu_spark.ops.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(documents, "doc_id")
+        p = plan_str(lsh_candidate_pairs(sigs))
+        assert "CartesianProduct" not in p
+        assert "band" in p  # joined on band keys
