@@ -17,6 +17,7 @@ from .corpus import (
 from .dedup import (
     dedup_by_clusters,
     duplicate_clusters,
+    duplicate_clusters_star,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,
@@ -61,6 +62,7 @@ __all__ = [
     "dedup_lines_by_frequency",
     "document_fingerprints",
     "duplicate_clusters",
+    "duplicate_clusters_star",
     "embedding_near_duplicates",
     "exact_dedup",
     "flag_contamination",

@@ -324,8 +324,8 @@ def duplicate_clusters(
     Rounds needed = component diameter; near-duplicate clusters are
     shallow, so this converges in a handful of rounds (early-stops when
     labels are stable).  For adversarially long chains at 10^12 scale,
-    switch to the O(log n) alternating large-star/small-star scheme
-    (Kiveris et al., SoCC'14) — same join-only building blocks.
+    use :func:`duplicate_clusters_star` — the O(log n) alternating
+    large-star/small-star scheme (Kiveris et al., SoCC'14).
     """
     sym = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -367,6 +367,95 @@ def duplicate_clusters(
         if stable:
             break
     return labels
+
+
+def _cc_min_neighbor(sym: DataFrame) -> DataFrame:
+    """m(u) = min(N(u) ∪ {u}) over a symmetric edge table (u, v)."""
+    return sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Connected components by the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — converges in O(log n) rounds vs the label
+    propagation's O(diameter), so adversarially long duplicate chains
+    (quote-of-a-quote-of-a-quote pages) collapse in a handful of
+    rounds.
+
+    Each round is two join+groupBy passes over the EDGE table:
+
+    * large-star: every node attaches its strictly-larger neighbors to
+      the minimum of its neighborhood (+ itself);
+    * small-star: every node attaches its smaller-or-equal neighbors
+      (and itself) to that minimum.
+
+    Edges only ever point "downhill" toward component minima; at
+    convergence the edge set is a star per component.  Returns
+    ``(id, cluster)`` like :func:`duplicate_clusters` (cluster = the
+    component's smallest id; isolated nodes never appear in ``pairs``
+    and are absent, also like it).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # large-star: (v, m(u)) for v > u
+        m = _cc_min_neighbor(sym)
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large-star output: (v, m(u)) for v <= u,
+        # plus (u, m(u)) — keeps every node attached to its current min
+        sym2 = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m2 = _cc_min_neighbor(sym2)
+        attach = (
+            sym2.where(F.col("v") <= F.col("u"))
+            .join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m2.select(F.col("u"), F.col("m").alias("v"))
+        new_edges = (
+            attach.unionByName(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # truncate lineage per round
+        )
+        converged = (
+            new_edges.exceptAll(edges).isEmpty()
+            and edges.exceptAll(new_edges).isEmpty()
+        )
+        edges = new_edges
+        if converged:
+            break
+    # star state: every non-minimum node points at its component min;
+    # the min itself appears only as a target (groupBy-min guards the
+    # not-fully-converged max_iterations edge case)
+    members = edges.groupBy("u").agg(F.min("v").alias("cluster"))
+    centers = edges.select(F.col("v").alias("u")).distinct().join(
+        edges.select("u").distinct(), "u", "left_anti"
+    ).select("u", F.col("u").alias("cluster"))
+    return members.unionByName(centers).distinct().withColumnRenamed(
+        "u", "id"
+    )
 
 
 def dedup_by_clusters(

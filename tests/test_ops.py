@@ -333,3 +333,74 @@ class TestMultimodal:
             by_id.setdefault(r["id"], []).append(r["frame_idx"])
         assert len(by_id[0]) == 3  # 5 pseudo-frames sampled every 2 -> 0,2,4
         assert 3 not in by_id  # null payload -> no frames
+
+
+class TestStarConnectedComponents:
+    @staticmethod
+    def _union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    def test_matches_union_find_on_random_graphs(self, spark):
+        import random
+
+        from hooqu_spark.ops import duplicate_clusters_star
+
+        for seed in range(6):
+            rng = random.Random(seed)
+            n = rng.randint(5, 60)
+            n_edges = rng.randint(1, 2 * n)
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            if not edges:
+                continue
+            nodes = sorted({x for e in edges for x in e})
+            want = self._union_find_components(edges, nodes)
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {
+                r["id"]: r["cluster"]
+                for r in duplicate_clusters_star(pairs).collect()
+            }
+            assert got == want, (seed, sorted(edges))
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # a 200-node path needs ~200 label-propagation rounds but only
+        # O(log n) star rounds — 12 iterations must fully collapse it
+        from hooqu_spark.ops import duplicate_clusters_star
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+        )
+        labels = {
+            r["id"]: r["cluster"]
+            for r in duplicate_clusters_star(pairs, max_iterations=12).collect()
+        }
+        assert len(labels) == 200
+        assert set(labels.values()) == {0}
+
+    def test_agrees_with_label_propagation(self, spark):
+        from hooqu_spark.ops import duplicate_clusters, duplicate_clusters_star
+
+        edges = [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (9, 3)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = {
+            r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()
+        }
+        b = {
+            r["id"]: r["cluster"]
+            for r in duplicate_clusters_star(pairs).collect()
+        }
+        assert a == b
