@@ -17,6 +17,7 @@ from .anomaly import (
     AnomalyCheck,
     AnomalyStrategy,
     MeanDeviationStrategy,
+    HoltWintersStrategy,
     RelativeRateOfChangeStrategy,
     SimpleThresholdStrategy,
     detect_anomaly,
@@ -50,6 +51,7 @@ __all__ = [
     "ConstraintSuggestion",
     "MeanDeviationStrategy",
     "MetricsRepository",
+    "HoltWintersStrategy",
     "RelativeRateOfChangeStrategy",
     "SimpleThresholdStrategy",
     "StreamingVerification",

@@ -151,6 +151,70 @@ class MeanDeviationStrategy(AnomalyStrategy):
 
 
 @dataclass(frozen=True)
+class HoltWintersStrategy(AnomalyStrategy):
+    """Seasonal forecast anomaly detection (deequ: HoltWinters):
+    additive Holt-Winters (level + trend + seasonality of period
+    ``season_length``) fit over the history, one-step forecast compared
+    to the current value, flagged when the residual exceeds
+    ``k`` x the stddev of the in-sample one-step forecast errors.
+
+    Daily metrics with a weekly rhythm use ``season_length=7``; hourly
+    with a daily rhythm 24.  Needs at least two full seasons of
+    history; accepts until then.  Deterministic, driver-side, O(|history|).
+    """
+
+    season_length: int = 7
+    alpha: float = 0.3   # level smoothing
+    beta: float = 0.1    # trend smoothing
+    gamma: float = 0.3   # seasonal smoothing
+    k: float = 3.0
+    min_sigma: float = 1e-9
+
+    def detect(self, history: Sequence[float], current: float) -> Anomaly:
+        m = self.season_length
+        clean = [float(v) for v in history if not math.isnan(v)]
+        if len(clean) < 2 * m:
+            return Anomaly(
+                current,
+                False,
+                f"history {len(clean)} < two seasons ({2 * m}); accepted",
+            )
+        # init from the first two seasons
+        s0 = sum(clean[:m]) / m
+        s1 = sum(clean[m : 2 * m]) / m
+        level = s0
+        trend = (s1 - s0) / m
+        seasonal = [clean[i] - s0 for i in range(m)]
+        errors: List[float] = []
+        for t in range(m, len(clean)):
+            forecast = level + trend + seasonal[t % m]
+            errors.append(clean[t] - forecast)
+            prev_level = level
+            level = self.alpha * (clean[t] - seasonal[t % m]) + (
+                1 - self.alpha
+            ) * (level + trend)
+            trend = self.beta * (level - prev_level) + (1 - self.beta) * trend
+            seasonal[t % m] = (
+                self.gamma * (clean[t] - level)
+                + (1 - self.gamma) * seasonal[t % m]
+            )
+        forecast = level + trend + seasonal[len(clean) % m]
+        n = len(errors)
+        mean_err = sum(errors) / n
+        sigma = math.sqrt(sum((e - mean_err) ** 2 for e in errors) / n)
+        sigma = max(sigma, self.min_sigma)
+        resid = abs(current - forecast)
+        bad = resid > self.k * sigma
+        return Anomaly(
+            current,
+            bad,
+            f"forecast {forecast:g}, residual {resid:g} "
+            + (f"> {self.k}*sigma {sigma:g}" if bad
+               else f"<= {self.k}*sigma {sigma:g}"),
+        )
+
+
+@dataclass(frozen=True)
 class AnomalyCheck:
     analyzer: Analyzer
     strategy: AnomalyStrategy

@@ -31,6 +31,8 @@ from .similarity import (
     brute_force_topk,
     cosine_scores,
     embedding_near_duplicates,
+    ivf_build_index,
+    ivf_probe_index,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -68,6 +70,8 @@ __all__ = [
     "flag_contamination",
     "host_col",
     "host_counts",
+    "ivf_build_index",
+    "ivf_probe_index",
     "ivf_topk",
     "jaccard_similar_pairs",
     "language_distribution",

@@ -315,6 +315,66 @@ def ivf_topk(
     return brute_force_topk(probed, query_vec, k, vec_col, id_col)
 
 
+def ivf_build_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 29,
+    distributed_training: bool = False,
+) -> np.ndarray:
+    """Materialize the IVF index the docstrings promise: assign every
+    vector to its list ONCE and write the table PARTITIONED BY the list
+    id (plus a ``<path>_centroids`` parquet of the trained centroids).
+
+    A probe then reads only ``n_probe`` of ``n_centroids`` partition
+    directories — real partition pruning at the file-listing level
+    (``PartitionFilters`` in the scan), which is the difference between
+    "skip rows after reading" and "never open the files" at 10^12
+    vectors."""
+    spark = df.sparkSession
+    if distributed_training:
+        centroids = _train_centroids_distributed(
+            df, vec_col, id_col, n_centroids, seed=seed
+        )
+    else:
+        centroids = _train_centroids(
+            df, vec_col, id_col, n_centroids, seed=seed
+        )
+    assigned = df.withColumn(
+        "ivf_list", ivf_assign_udf(centroids)(F.col(vec_col))
+    )
+    assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(path + "_centroids")
+    return centroids
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a materialized IVF index: load centroids, pick the
+    ``n_probe`` nearest lists, scan ONLY those partition directories
+    (``ivf_list`` is the physical partition column, so the ``isin``
+    prunes at file listing)."""
+    rows = spark.read.parquet(path + "_centroids").orderBy("list_id").collect()
+    centroids = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(centroids @ qn))[:n_probe]]
+    indexed = spark.read.parquet(path).where(F.col("ivf_list").isin(probes))
+    return brute_force_topk(indexed, query_vec, k, vec_col, id_col)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -131,3 +131,53 @@ class TestRunWithAnomalyChecks:
         )
         result = run_with_anomaly_checks(df, [], [ac], repo, tag="f")
         assert result.status == CheckStatus.ERROR
+
+
+class TestHoltWinters:
+    def _series(self, n_weeks=6):
+        # weekly seasonality (low weekends) + slow upward trend
+        base = [100, 105, 104, 103, 106, 60, 55]
+        out = []
+        for w in range(n_weeks):
+            for d, v in enumerate(base):
+                out.append(v + 2.0 * w)
+        return out
+
+    def test_seasonal_dip_not_flagged(self):
+        from hooqu_spark.anomaly import HoltWintersStrategy
+
+        # cut history so the NEXT point lands on the weekly dip (index
+        # 40 -> day 5 of week 5): a seasonal low, NOT an anomaly
+        hist = self._series()[:40]
+        s = HoltWintersStrategy(season_length=7)
+        nxt = 60 + 2.0 * 5
+        verdict = s.detect(hist, nxt)
+        assert not verdict.is_anomaly, verdict.detail
+        # a mean-deviation strategy WOULD flag the same dip
+        from hooqu_spark.anomaly import MeanDeviationStrategy
+
+        assert MeanDeviationStrategy(k=1.0).detect(hist, nxt).is_anomaly
+
+    def test_level_spike_flagged(self):
+        from hooqu_spark.anomaly import HoltWintersStrategy
+
+        hist = self._series()
+        s = HoltWintersStrategy(season_length=7)
+        verdict = s.detect(hist, 160.0)  # weekday spike far off forecast
+        assert verdict.is_anomaly, verdict.detail
+
+    def test_accepts_until_two_seasons(self):
+        from hooqu_spark.anomaly import HoltWintersStrategy
+
+        s = HoltWintersStrategy(season_length=7)
+        verdict = s.detect([1.0] * 10, 999.0)
+        assert not verdict.is_anomaly
+        assert "accepted" in verdict.detail
+
+    def test_trend_continuation_accepted(self):
+        from hooqu_spark.anomaly import HoltWintersStrategy
+
+        hist = [float(i) for i in range(40)]  # pure linear growth
+        s = HoltWintersStrategy(season_length=5)
+        assert not s.detect(hist, 40.0).is_anomaly
+        assert s.detect(hist, 80.0).is_anomaly

@@ -404,3 +404,41 @@ class TestStarConnectedComponents:
             for r in duplicate_clusters_star(pairs).collect()
         }
         assert a == b
+
+
+class TestIvfIndex:
+    def test_build_probe_partition_pruned(self, spark, tmp_path, vecs_shared=None):
+        import numpy as np
+
+        from hooqu_spark.ops import (
+            brute_force_topk,
+            ivf_build_index,
+            ivf_probe_index,
+        )
+
+        rng = np.random.RandomState(3)
+        mat = rng.standard_normal((300, 8))
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(300)]
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        path = str(tmp_path / "ivf")
+        ivf_build_index(vecs, path, n_centroids=8)
+
+        q = mat[5].tolist()
+        # full probe == exact brute force
+        want = [r["vec_id"] for r in brute_force_topk(vecs, q, k=5).collect()]
+        got = [
+            r["vec_id"]
+            for r in ivf_probe_index(spark, path, q, k=5, n_probe=8).collect()
+        ]
+        assert got == want
+
+        # partial probe: the query's own vector is always found, and the
+        # scan is PARTITION-pruned (file-listing level, not a row filter)
+        probe = ivf_probe_index(spark, path, q, k=5, n_probe=2)
+        assert 5 in [r["vec_id"] for r in probe.collect()]
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        scan_line = plan[plan.index("PartitionFilters"):][:200]
+        assert "ivf_list" in scan_line
