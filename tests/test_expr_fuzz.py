@@ -73,7 +73,11 @@ def _expr(rng: random.Random, depth: int):
 
 @pytest.fixture(scope="module")
 def lineitem(spark):
-    return spark.read.parquet(PARQUET).cache()
+    df = spark.read.parquet(PARQUET).cache()
+    yield df
+    # unpersist at module teardown: a lingering cached relation would
+    # replace the parquet scan in OTHER modules' plan assertions
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
