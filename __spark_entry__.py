@@ -176,7 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from hooqu_spark.ops import token_counts
 
         df = _t(spark, sf_dir, "documents")
-        return token_counts(df).select("doc_id", "n_tokens")
+        return token_counts(df).select(
+            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+        )
 
     def lang_distribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hooqu_spark.ops import language_distribution
@@ -316,7 +318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sample_to_token_budget(
             df, {"en": 2000, "de": 1000}, order_by="id"
         )
-        return out.select("doc_id", "lang", "n_tokens")
+        return out.select(
+            "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
+        )
 
     def custom_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hooqu_spark.analyzers import CustomSql
