@@ -522,18 +522,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # No SQL oracle (LSH not SQL-expressible) -> rows-only check.
+        # md5-keyed signatures + banded LSH: the survivor set is fully
+        # reproducible in DuckDB (the oracle replays the 64 universal
+        # hashes, the 16-band agreement rule and the >= 0.7 estimated
+        # Jaccard drop) -> hash-verified.
         from hooqu_spark.ops import minhash_dedup
 
         df = _t(spark, sf_dir, "documents")
         return minhash_dedup(df, "doc_id", threshold=0.7).select("doc_id")
 
+    def minhash_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Raw 64-component signatures, posexploded so the value hash
+        # covers every component of every doc.
+        from hooqu_spark.ops import minhash_signatures
+
+        df = _t(spark, sf_dir, "documents")
+        sigs = minhash_signatures(df, "doc_id")
+        return sigs.select(
+            F.col("id").alias("doc_id"),
+            F.posexplode("signature").alias("pos", "h"),
+        ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+
     def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # Deterministic signatures; rows-only check (no SQL oracle).
+        # md5-keyed bit votes -> DuckDB replays the exact signature.
         from hooqu_spark.ops import simhash_signatures
 
         df = _t(spark, sf_dir, "documents")
         return simhash_signatures(df, "doc_id").withColumnRenamed("id", "doc_id")
+
+    def cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Exact all-pairs cosine join (recall 1.0): the oracle-able
+        # complement to the LSH near_dup_pairs query — hash-verifies
+        # the cosine arithmetic the LSH verify step shares.  Both
+        # engines threshold on the ROUND(cos, 6) value so borderline
+        # decisions cannot diverge on last-ulp float differences.
+        from hooqu_spark.ops import cosine_similar_pairs
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "e", F.col("embedding").cast("array<double>")
+        )
+        return cosine_similar_pairs(
+            emb, id_col="vec_id", vec_col="e", threshold=0.3, round_to=6
+        )
 
     return {
         # -- hooqu analyzer surface (SURVEY.md §2a) --
@@ -602,7 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_embeddings": topk_cosine_query,
         "ivf_topk_embeddings": ivf_topk_query,
         "minhash_dedup_documents": minhash_dedup_query,
+        "minhash_signatures_documents": minhash_signatures_query,
         "simhash_signatures_documents": simhash_query,
+        "cosine_pairs_embeddings": cosine_pairs_query,
         "media_metadata_documents": media_metadata_query,
         "fingerprints_documents": fingerprints_query,
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
@@ -633,6 +665,46 @@ def oracle_sql() -> dict[str, str]:
     jaccard_expr = (
         "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
         " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    # MinHash signature CTE: replays hooqu_spark.ops.dedup exactly —
+    # 32-bit md5-derived shingle hash, then the seeded universal-hash
+    # family (a_i < 2^30 keeps a_i*h + b_i < 2^63: exact in Spark's
+    # signed long AND DuckDB's UBIGINT).
+    from hooqu_spark.ops.dedup import _MERSENNE, _minhash_params
+
+    _a, _b = _minhash_params(64)
+    sig_items = ", ".join(
+        f"list_min(list_transform(h, x -> ({int(_a[i])}::UBIGINT * x"
+        f" + {int(_b[i])}::UBIGINT) % {_MERSENNE}::UBIGINT))"
+        for i in range(64)
+    )
+    minhash_sig_cte = (
+        f"{shingle_cte},"
+        " hh AS (SELECT doc_id, list_transform(sh, s ->"
+        " ('0x' || substr(md5(s),1,8))::UBIGINT) AS h FROM d),"
+        f" sig AS (SELECT doc_id, [{sig_items}] AS sg FROM hh)"
+    )
+    # LSH banding: Spark buckets on xxhash64 of each 4-component slice;
+    # slice-hash equality == slice equality (modulo a ~2^-64 collision),
+    # so the oracle compares the slices directly.
+    band_or = " OR ".join(
+        f"sa[{4 * j + 1}:{4 * j + 4}] = sb[{4 * j + 1}:{4 * j + 4}]"
+        for j in range(16)
+    )
+    agree_sum = " + ".join(
+        f"CASE WHEN sa[{i}] = sb[{i}] THEN 1 ELSE 0 END"
+        for i in range(1, 65)
+    )
+    # SimHash: per-token 64-bit hash = md5 hex chars 1-8 (bits 0-31) |
+    # chars 9-16 (bits 32-63); bit set iff a strict majority of tokens
+    # (with multiplicity) has it set.
+    simhash_bit_sums = ", ".join(
+        f"sum((h{1 if i < 32 else 2} >> {i % 32}) & 1) AS c{i}"
+        for i in range(64)
+    )
+    simhash_value = " + ".join(
+        f"CASE WHEN 2*c{i} > n THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64)
     )
     # langid oracle: the (small) lexicons inlined as a VALUES relation;
     # scoring is occurrence-count membership per language, argmax with
@@ -709,7 +781,8 @@ def oracle_sql() -> dict[str, str]:
             " ex AS (SELECT doc_id, unnest([{'ord': i, 'line': arr[i]}"
             " for i in range(1, len(arr)+1)]) AS u FROM ls),"
             " l AS (SELECT doc_id, u.ord AS ord, u.line AS line FROM ex),"
-            " f AS (SELECT line FROM l GROUP BY line HAVING count(*) > 2),"
+            " f AS (SELECT line FROM l WHERE length(line) >= 1"
+            " GROUP BY line HAVING count(*) > 2),"
             " kept AS (SELECT l.doc_id, l.ord, l.line FROM l"
             " WHERE l.line NOT IN (SELECT line FROM f)),"
             " r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord)"
@@ -959,8 +1032,50 @@ def oracle_sql() -> dict[str, str]:
             "embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine"
             " FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 5"
         ),
+        "cosine_pairs_embeddings": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            " round(list_cosine_similarity(a.embedding::DOUBLE[],"
+            " b.embedding::DOUBLE[]), 6) AS cosine"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],"
+            " b.embedding::DOUBLE[]), 6) >= 0.3"
+        ),
+        "minhash_signatures_documents": (
+            f"{minhash_sig_cte},"
+            " ex AS (SELECT doc_id, unnest([{'pos': i-1, 'h': sg[i]}"
+            " for i in range(1, 65)]) AS u FROM sig)"
+            " SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,"
+            " CAST(u.h AS BIGINT) AS h FROM ex"
+        ),
+        "minhash_dedup_documents": (
+            f"{minhash_sig_cte},"
+            " pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,"
+            " a.sg AS sa, b.sg AS sb FROM sig a JOIN sig b"
+            " ON a.doc_id < b.doc_id),"
+            f" lo AS (SELECT DISTINCT ib FROM pr WHERE ({band_or})"
+            f" AND ({agree_sum}) / 64.0 >= 0.7)"
+            " SELECT doc_id FROM documents"
+            " WHERE doc_id NOT IN (SELECT ib FROM lo)"
+        ),
+        "simhash_signatures_documents": (
+            "WITH w AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(coalesce(text,''),"
+            " '\\s+'), x -> x <> '') AS ws FROM documents),"
+            " tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),"
+            " th AS (SELECT doc_id,"
+            " ('0x' || substr(md5(wd),1,8))::UBIGINT AS h1,"
+            " ('0x' || substr(md5(wd),9,8))::UBIGINT AS h2 FROM tok),"
+            f" c AS (SELECT doc_id, count(*) AS n, {simhash_bit_sums}"
+            " FROM th GROUP BY doc_id),"
+            f" s AS (SELECT doc_id, ({simhash_value}) AS us FROM c)"
+            " SELECT d.doc_id, CAST(coalesce(CASE WHEN s.us >="
+            " 9223372036854775808::HUGEINT THEN"
+            " s.us - 18446744073709551616::HUGEINT ELSE s.us END, 0)"
+            " AS BIGINT) AS simhash"
+            " FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
         # Rows-only (genuinely un-oracle-able in DuckDB):
-        # minhash_dedup_documents, simhash_signatures_documents,
-        # fingerprints_documents (crc32/xxhash64 kernels absent from
-        # DuckDB), near_dup_pairs_embeddings (seeded LSH planes).
+        # fingerprints_documents (xxhash64 absent from DuckDB 1.0),
+        # near_dup_pairs_embeddings (seeded LSH hyperplanes; its exact
+        # cosine math is hash-verified by cosine_pairs_embeddings).
     }

@@ -528,7 +528,16 @@ class Correlation(ScanShareableAnalyzer):
 # regexes.  boolean = ^(true|false)$ and integral = ^[-+]?[0-9]+$ are
 # implemented with equivalent cheap string predicates in _classifier;
 # only the fractional regex still runs (dot-gated), JVM-side via rlike.
-_FRACTIONAL_RE = "^[-+]?([0-9]*\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][-+]?[0-9]+)?$"
+# Anchoring is STRICT end-of-input (`\z`, not `$`): Java's default `$`
+# also matches before one trailing line terminator, so "123\n" would
+# count as integral under `$` while the string predicates (and DuckDB's
+# RE2 `$`) reject it.  Strict anchoring keeps all five buckets — and
+# the cross-engine oracle — on one consistent rule: a value with a
+# trailing newline is a string.  Pinned by
+# tests/test_extended_analyzers.py::test_trailing_newline_is_string.
+_FRACTIONAL_RE = (
+    "^[-+]?([0-9]*\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][-+]?[0-9]+)?\\z"
+)
 
 
 class DataTypeHistogram(ScanShareableAnalyzer):

@@ -223,9 +223,12 @@ def incremental_metrics(
     if committed:
         from pyspark.sql import functions as F
 
-        delta_df = delta_df.where(
-            ~F.col(partition_col).cast("string").isin(committed)
-        )
+        # NULL bucket ids: `isin` evaluates to NULL (not false), and a
+        # bare negation would silently drop those rows — keep them
+        # explicitly so NULL-bucket deltas follow the same
+        # "ingest unless committed" policy as every other bucket.
+        c = F.col(partition_col).cast("string")
+        delta_df = delta_df.where(c.isNull() | ~c.isin(committed))
     records = compute_partition_states(delta_df, list(analyzers), partition_col)
     repository.save(run_id, records)
     return repository.merged_metrics(run_id, analyzers)

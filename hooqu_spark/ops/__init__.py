@@ -30,6 +30,7 @@ from .dedup import (
 from .similarity import (
     brute_force_topk,
     cosine_scores,
+    cosine_similar_pairs,
     embedding_near_duplicates,
     ivf_build_index,
     ivf_probe_index,
@@ -58,6 +59,7 @@ from .text import (
 
 __all__ = [
     "brute_force_topk",
+    "cosine_similar_pairs",
     "canonicalize_urls",
     "cosine_scores",
     "dedup_by_clusters",

@@ -33,7 +33,7 @@ def dedup_lines_by_frequency(
     id_col: str,
     text_col: str = "text",
     max_occurrences: int = 2,
-    min_line_chars: int = 0,
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """Remove lines that occur more than ``max_occurrences`` times in
     the corpus and rebuild each document (line order preserved).
@@ -52,6 +52,9 @@ def dedup_lines_by_frequency(
     never all-pairs.  ``min_line_chars`` exempts very short lines from
     counting toward removal (empty lines/separators are structural, not
     boilerplate) — lines shorter than the threshold are always kept.
+    The default (1) exempts exactly the empty lines: any real corpus
+    has more than ``max_occurrences`` blank separator lines, and
+    removing them would strip paragraph structure from every document.
     """
     lines = df.select(
         F.col(id_col).alias("_id"),

@@ -4,9 +4,14 @@ Jaccard.
 Scale design: no all-pairs comparison ever materializes.  Candidate
 generation is bucket-based (LSH bands / simhash chunks), so the only
 shuffles are (a) groupBy on band keys and (b) a self-join restricted to
-bucket-equal rows.  Signatures are computed in Arrow-batched numpy
-(vectorized over the hash dimension), deterministic across runs and
-partitionings.
+bucket-equal rows.  Signatures are computed entirely JVM-side inside
+whole-stage codegen: shingles are Catalyst array expressions, the
+shingle/token hash is the md5-derived 32-bit uniform hash (first 8 hex
+chars of md5 — reproducible bit-for-bit in DuckDB, so signatures and
+dedup survivor sets are oracle-verifiable cross-engine), and the
+min-reduction / bit-vote runs as a fused columnar aggregate with
+map-side partial combine.  No Python executes per row anywhere in this
+module.
 
 Survivor policy (deterministic): within a duplicate cluster the row
 with the smallest id survives; a row is dropped if ANY
@@ -17,16 +22,17 @@ propagation; the greedy policy needs none).
 
 from __future__ import annotations
 
-import zlib
-from typing import Iterator, List
+from typing import List
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _MERSENNE = (1 << 61) - 1
+# a_i < 2^30 keeps a_i * h + b_i < 2^62 + 2^61 < 2^63 for 32-bit h, so
+# the universal-hash arithmetic is exact in BOTH Spark's signed
+# LongType and DuckDB's UBIGINT — no overflow, no engine divergence.
+_MAX_A = 1 << 30
 
 
 def exact_dedup(df: DataFrame, subset: List[str], id_col: str) -> DataFrame:
@@ -48,46 +54,68 @@ def exact_dedup(df: DataFrame, subset: List[str], id_col: str) -> DataFrame:
 # MinHash
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, shingle_size: int) -> np.ndarray:
-    """Distinct crc32 hashes of the word ``shingle_size``-grams.
+def _minhash_params(n_hashes: int, seed: int = 7):
+    """Universal-hash family ``h_i(x) = (a_i * x + b_i) mod p`` with
+    ``p = 2^61 - 1`` and ``a_i < 2^30`` (see ``_MAX_A``).  Deterministic
+    (seeded), shared verbatim by the DuckDB oracle generator in
+    ``__spark_entry__.oracle_sql``."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MAX_A, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
 
-    Byte-identical to hashing ``" ".join(words[i:i+k]).encode()`` per
-    shingle, but ~4x cheaper: every shingle is a byte SLICE of the
-    single-space-joined text (words contain no whitespace, and UTF-8
-    multi-byte sequences never contain 0x20), so the hot loop is one
-    ``crc32(memoryview[s:e])`` per shingle — no per-shingle string
-    join/encode.  Offsets come from a numpy cumsum over the encoded
-    word lengths.
-    """
-    words = text.split()
-    n = len(words)
-    if n < shingle_size:
-        s = " ".join(words)  # [] -> "" (hash of the empty shingle)
-        return np.array([zlib.crc32(s.encode("utf-8"))], dtype=np.uint64)
-    norm = " ".join(words).encode("utf-8")
-    mv = memoryview(norm)
-    bl = np.fromiter(map(len, norm.split(b" ")), dtype=np.int64, count=n)
-    cum = np.concatenate(([0], np.cumsum(bl)))
-    n_sh = n - shingle_size + 1
-    # shingle i spans words i..i+k-1: start = cum[i] + i (i separator
-    # spaces precede word i), end = cum[i+k] + i+k-1
-    starts = (cum[:n_sh] + np.arange(n_sh)).tolist()
-    ends = (cum[shingle_size:] + np.arange(shingle_size - 1, n)).tolist()
-    crc = zlib.crc32
-    return np.unique(
-        np.fromiter(
-            (crc(mv[s:e]) for s, e in zip(starts, ends)),
-            dtype=np.uint64,
-            count=n_sh,
-        )
+
+def _str_hash32(col) -> F.Column:
+    """Deterministic 32-bit hash of a string column: first 8 hex chars
+    of md5, as a long in [0, 2^32).  Engine-portable — DuckDB replays
+    it exactly as ``('0x' || substr(md5(x),1,8))::UBIGINT`` (same
+    pattern as :func:`hooqu_spark.ops.corpus._uniform_hash`, already
+    hash-verified cross-engine by ``stratified_sample_documents``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int
+) -> DataFrame:
+    """``(id, sh array<string>)`` — each doc's distinct word
+    ``shingle_size``-gram strings as a pure Catalyst projection."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _shingle_str_col(text_col, shingle_size).alias("sh"),
     )
 
 
-def _minhash_params(n_hashes: int, seed: int = 7):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    return a, b
+def _signatures_from_shingles(
+    sh_df: DataFrame, n_hashes: int = 64
+) -> DataFrame:
+    """(id, signature array<long>) from a ``(id, sh)`` shingle frame.
+
+    Plan: explode shingles -> md5-derived 32-bit hash per shingle ->
+    ONE whole-stage-codegen hash aggregate computing all ``n_hashes``
+    mins at once.  Partial (map-side) min combine means the shuffle
+    carries exactly ``n_docs x n_hashes`` longs no matter how long the
+    documents are — the 100 TB-safe shape.  Every doc has >= 1 shingle
+    (empty text yields the [""] shingle), so no rows are lost to the
+    explode."""
+    a, b = _minhash_params(n_hashes)
+    ex = sh_df.select("id", F.explode("sh").alias("_s")).select(
+        "id", _str_hash32(F.col("_s")).alias("_h")
+    )
+    p = F.lit(_MERSENNE)
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(int(a[i])) * F.col("_h") + F.lit(int(b[i]))) % p
+            ).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "id",
+        F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias(
+            "signature"
+        ),
+    )
 
 
 def minhash_signatures(
@@ -97,27 +125,15 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, signature array<long>) via vectorized universal hashing:
-    sig[i] = min over shingles s of (a_i * crc32(s) + b_i) mod p."""
-    a, b = _minhash_params(n_hashes)
+    """(id, signature array<long>): sig[i] = min over distinct word
+    ``shingle_size``-gram shingles s of (a_i * md5_32(s) + b_i) mod p.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sigs = []
-            for text in pdf[text_col].tolist():
-                h = _shingle_hashes(text or "", shingle_size)
-                # min over shingles of (a*h + b) mod p, vectorized
-                vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
-
-    schema = T.StructType(
-        [
-            T.StructField("id", df.schema[id_col].dataType),
-            T.StructField("signature", T.ArrayType(T.LongType())),
-        ]
+    Fully JVM-side (codegen'd aggregate, no Python kernel) and
+    bit-reproducible in DuckDB — the driver contract hash-verifies both
+    the raw signatures and the dedup survivor set."""
+    return _signatures_from_shingles(
+        shingle_frame(df, id_col, text_col, shingle_size), n_hashes
     )
-    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
 def lsh_candidate_pairs(
@@ -194,10 +210,12 @@ def minhash_dedup(
     >= threshold (greedy-by-id survivor policy).
 
     The signature table feeds three plan branches (band explosion plus
-    both sides of the agreement join); it is persisted so the Arrow
-    shingle+hash kernel — the expensive per-doc step — runs ONCE per
-    document instead of three times, then released after the (small)
-    loser-id set is materialized via ``localCheckpoint``.
+    both sides of the agreement join); it is persisted so the fused
+    shingle-hash aggregate — the expensive per-doc step — runs ONCE
+    per document instead of three times, then released after the
+    (small) loser-id set is materialized via ``localCheckpoint``.
+    Entirely JVM-side and DuckDB-reproducible (the driver contract
+    hash-verifies the survivor set at sf0.01).
     """
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes, shingle_size
@@ -223,39 +241,55 @@ def minhash_dedup(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over token crc32 hashes (numpy bit-vote kernel)."""
+    """64-bit SimHash: per-token 64-bit hash = two md5-derived 32-bit
+    halves (bits 0-31 from hex chars 1-8, bits 32-63 from chars 9-16),
+    bit i of the signature set iff more than half the tokens (with
+    multiplicity) have bit i set.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_weights = 1 << np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            out = []
-            for text in pdf[text_col].tolist():
-                words = (text or "").split()
-                if not words:
-                    out.append(0)
-                    continue
-                hs = np.fromiter(
-                    (
-                        zlib.crc32(w.encode("utf-8"))
-                        | (zlib.crc32(w[::-1].encode("utf-8")) << 32)
-                        for w in words
-                    ),
-                    dtype=np.uint64,
-                    count=len(words),
-                )
-                bits = ((hs[:, None] & bit_weights[None, :]) != 0).astype(np.int32)
-                votes = bits.sum(axis=0) * 2 - len(words)
-                sig = int((bit_weights[votes > 0]).sum())
-                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
-
-    schema = T.StructType(
-        [
-            T.StructField("id", df.schema[id_col].dataType),
-            T.StructField("simhash", T.LongType()),
-        ]
+    Fully JVM-side: explode tokens -> ONE codegen'd aggregate with 64
+    per-bit popcounts + the token count (map-side combine bounds the
+    shuffle at 65 longs per doc).  ``explode_outer`` keeps empty docs,
+    whose NULL token yields all-NULL votes -> signature 0 (the
+    documented empty-text signature).  Engine-portable: DuckDB replays
+    the identical md5 halves and vote rule, so signatures hash-verify
+    in the driver contract."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
     )
-    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(words).alias("_w")
+    )
+    hx = F.md5("_w")
+    th = tok.select(
+        "id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("_h2"),
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(64):
+        src = F.col("_h1") if i < 32 else F.col("_h2")
+        aggs.append(
+            F.sum(F.shiftright(src, i % 32).bitwiseAND(F.lit(1))).alias(
+                f"_c{i}"
+            )
+        )
+    counts = th.groupBy("id").agg(*aggs)
+
+    def bit(i: int) -> F.Column:
+        # NULL votes (empty doc) make the comparison NULL -> otherwise(0)
+        return F.lit(2) * F.col(f"_c{i}") > F.col("_n")
+
+    terms = [
+        F.when(bit(i), F.lit(1 << i)).otherwise(F.lit(0)) for i in range(63)
+    ]
+    terms.append(
+        F.when(bit(63), F.lit(-(1 << 63))).otherwise(F.lit(0))
+    )
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return counts.select("id", sig.cast("long").alias("simhash"))
 
 
 def simhash_dedup(
@@ -269,7 +303,7 @@ def simhash_dedup(
     of 4 chunks — pigeonhole), verify hamming distance inside buckets.
 
     Signatures are persisted across the self-join's two branches so the
-    Arrow bit-vote kernel runs once per document."""
+    fused bit-vote aggregate runs once per document."""
     sigs = simhash_signatures(df, id_col, text_col).persist()
     chunks = sigs.select(
         "id",
@@ -472,10 +506,24 @@ def dedup_by_clusters(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Keep one representative (smallest id) per transitive duplicate
-    cluster; rows not in any pair survive untouched."""
-    clusters = duplicate_clusters(pairs, id_a, id_b)
+    cluster; rows not in any pair survive untouched.
+
+    ``algorithm="star"`` (default) finds components with the O(log n)
+    alternating large-star/small-star scheme — round count independent
+    of chain length, the right default at 10^12 docs where adversarial
+    quote-chains make O(diameter) label propagation unbounded.
+    ``algorithm="label"`` keeps the propagation variant (fewer jobs per
+    round; fine when clusters are known-shallow).  Both produce the
+    identical cluster labeling (parity-tested on random graphs)."""
+    if algorithm == "star":
+        clusters = duplicate_clusters_star(pairs, id_a, id_b)
+    elif algorithm == "label":
+        clusters = duplicate_clusters(pairs, id_a, id_b)
+    else:
+        raise ValueError(f"unknown clustering algorithm: {algorithm!r}")
     losers = clusters.where(F.col("id") != F.col("cluster")).select(
         F.col("id").alias(id_col)
     )
@@ -611,56 +659,34 @@ def ngram_jaccard_dedup(
     contract suite).
 
     ``exact=False``: candidates from MinHash-LSH banding (probabilistic
-    recall), verified with exact Jaccard on crc32 shingle-hash arrays —
-    the cheaper variant when a bounded miss rate is acceptable.  Both
-    per-doc Arrow kernels (minhash signatures, shingle arrays) are
-    persisted across their plan branches so each document is
-    shingled/hashed exactly once; released after the loser-id set is
-    materialized."""
+    recall), verified with exact Jaccard over the full shingle-string
+    arrays (JVM ``array_intersect``) — the cheaper variant when a
+    bounded miss rate is acceptable.  The shingle frame is computed
+    ONCE and persisted; the minhash signatures derive from it, so each
+    document is shingled exactly once across all plan branches;
+    released after the loser-id set is materialized."""
     if exact:
         pairs = jaccard_similar_pairs(
             df, id_col, text_col, threshold, shingle_size
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return df.join(losers, on=id_col, how="left_anti")
-    sigs = minhash_signatures(
-        df, id_col, text_col, n_hashes, shingle_size
-    ).persist()
-
-    def shingle_arrays(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            arrs = [
-                _shingle_hashes(t or "", shingle_size).astype(np.int64).tolist()
-                for t in pdf[text_col].tolist()
-            ]
-            yield pd.DataFrame({"id": pdf[id_col], "shingles": arrs})
-
-    schema = T.StructType(
-        [
-            T.StructField("id", df.schema[id_col].dataType),
-            T.StructField("shingles", T.ArrayType(T.LongType())),
-        ]
-    )
-    sh = (
-        df.select(id_col, text_col)
-        .mapInPandas(shingle_arrays, schema=schema)
-        .persist()
-    )
+    sh = shingle_frame(df, id_col, text_col, shingle_size).persist()
     try:
+        sigs = _signatures_from_shingles(sh, n_hashes)
         pairs = lsh_candidate_pairs(sigs, n_bands)
-        sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-        sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size(F.array_union("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
         losers = (
             pairs.join(sa, "id_a")
             .join(sb, "id_b")
-            .where((inter / union) >= threshold)
+            .where((inter.cast("double") / union) >= threshold)
             .select(F.col("id_b").alias(id_col))
             .distinct()
             .localCheckpoint()
         )
     finally:
-        sigs.unpersist()
         sh.unpersist()
     return df.join(losers, on=id_col, how="left_anti")

@@ -2,18 +2,21 @@
 metadata, processed through Arrow-batched UDFs.
 
 The Spark-side machinery (schemas, batch shapes, partition-size
-control, UDF signatures) is real and tested; the actual media decode
-is STUBBED — image/audio libraries are not available in this sandbox.
-``DETERMINISTIC_FAKE_DECODE`` marks the stand-in: it derives stable
-pseudo-metadata and features from the payload bytes so downstream
-plumbing is exercised end-to-end.  Production: replace ``_decode_*``
-with Pillow / torchaudio / pyav calls — signatures stay identical.
+control, UDF signatures) is real and tested.  Decoding is pluggable:
+:func:`attach_binary_metadata` takes a decoder object and picks
+:class:`PillowImageDecoder` automatically when Pillow is importable;
+in this sandbox (no media libraries) it falls back to
+:class:`FakeImageDecoder`, the ``DETERMINISTIC_FAKE_DECODE`` stand-in
+that derives stable pseudo-metadata from the payload bytes so the
+plumbing is exercised end-to-end.  Audio/video feature extraction and
+frame sampling remain stubbed the same way (swap in torchaudio / pyav
+with identical signatures).
 """
 
 from __future__ import annotations
 
 import zlib
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -21,7 +24,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DETERMINISTIC_FAKE_DECODE = True
+try:  # pragma: no cover - sandbox has no Pillow
+    import PIL.Image  # noqa: F401
+
+    _PILLOW_AVAILABLE = True
+except ImportError:
+    _PILLOW_AVAILABLE = False
+
+# True when the deterministic stand-in (not a real media decoder) is
+# the active default — i.e. Pillow is absent from the environment.
+DETERMINISTIC_FAKE_DECODE = not _PILLOW_AVAILABLE
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -50,24 +62,57 @@ def _sniff_format(payload: bytes) -> str:
     return "unknown"
 
 
-def _decode_image_meta(payload: bytes):
-    """STUB decode (DETERMINISTIC_FAKE_DECODE): real impl would be
-    ``PIL.Image.open(io.BytesIO(payload))``; here width/height derive
-    from a stable byte hash so the schema path is exercised."""
-    if payload is None:
-        return (0, "unknown", None, None)
-    h = zlib.crc32(payload)
-    return (
-        len(payload),
-        _sniff_format(bytes(payload)),
-        64 + h % 1920,
-        64 + (h >> 11) % 1080,
-    )
+class FakeImageDecoder:
+    """DETERMINISTIC_FAKE_DECODE stand-in: format from magic-byte
+    sniffing, width/height from a stable byte hash — exercises the
+    full schema/batch path without any media library."""
+
+    def decode_meta(self, payload: bytes):
+        """-> (format, width, height) for a non-None payload."""
+        h = zlib.crc32(payload)
+        return (
+            _sniff_format(payload),
+            64 + h % 1920,
+            64 + (h >> 11) % 1080,
+        )
 
 
-def attach_binary_metadata(df: DataFrame, binary_col: str = "html") -> DataFrame:
+class PillowImageDecoder:
+    """Real decode path (auto-selected when Pillow is importable):
+    ``PIL.Image.open`` on the payload bytes; payloads Pillow cannot
+    parse degrade to magic-sniffed format with NULL dimensions instead
+    of failing the task."""
+
+    def decode_meta(self, payload: bytes):
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return ((im.format or "unknown").lower(), im.width, im.height)
+        except Exception:
+            return (_sniff_format(payload), None, None)
+
+
+def default_image_decoder():
+    """Pillow when available, else the deterministic fake."""
+    return PillowImageDecoder() if _PILLOW_AVAILABLE else FakeImageDecoder()
+
+
+def attach_binary_metadata(
+    df: DataFrame, binary_col: str = "html", decoder: Optional[object] = None
+) -> DataFrame:
     """Typed metadata struct for an opaque binary column; decode runs
-    vectorized in mapInPandas so the binary never round-trips as rows."""
+    vectorized in mapInPandas so the binary never round-trips as rows.
+
+    ``decoder`` is any object with ``decode_meta(payload: bytes) ->
+    (format, width, height)`` — defaults to
+    :func:`default_image_decoder` (Pillow if importable, else the
+    deterministic fake).  The decoder ships to executors by value
+    (cloudpickle), so test doubles must be defined inside functions."""
+    if decoder is None:
+        decoder = default_image_decoder()
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("media_meta", IMAGE_META_SCHEMA)]
     )
@@ -75,7 +120,9 @@ def attach_binary_metadata(df: DataFrame, binary_col: str = "html") -> DataFrame
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [
-                _decode_image_meta(b if b is None else bytes(b))
+                (0, "unknown", None, None)
+                if b is None
+                else (len(bytes(b)), *decoder.decode_meta(bytes(b)))
                 for b in pdf[binary_col].tolist()
             ]
             pdf = pdf.copy()

@@ -202,7 +202,6 @@ def _train_centroids_distributed(
     n_centroids: int,
     sample_size: int = 65536,
     n_iters: int = 8,
-    seed: int = 29,
 ) -> np.ndarray:
     """Spherical k-means where each Lloyd iteration is a Spark job —
     the 10^12-scale path: no vector ever collects to the driver except
@@ -211,7 +210,9 @@ def _train_centroids_distributed(
     * sample: deterministic hash sample (``xxhash64(id) % m``) sized to
       ~``sample_size`` rows — stable across partitionings and retries.
     * init: the ``n_centroids`` smallest-id sample vectors
-      (deterministic).
+      (deterministic — no RNG, hence no seed parameter; if the sample
+      holds fewer rows than ``n_centroids``, k is clamped to the
+      sample size, the usual small-table fallback).
     * iterate: assign via the Arrow GEMV udf, then
       ``posexplode -> groupBy(list, dim).avg`` computes per-centroid
       means map-side-combined; only n_centroids*dim tiny rows collect.
@@ -230,11 +231,15 @@ def _train_centroids_distributed(
             np.asarray(r[1], dtype=np.float64)
             for r in sample.orderBy(id_col).limit(n_centroids).collect()
         ]
-        centroids = np.stack(init)
+        if not init:
+            raise ValueError(
+                "cannot train IVF centroids: the input table is empty"
+            )
+        n_centroids = min(n_centroids, len(init))
+        centroids = np.stack(init[:n_centroids])
         centroids /= np.maximum(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
-        dim = centroids.shape[1]
         for _ in range(n_iters):
             assigned = sample.withColumn(
                 "_c", ivf_assign_udf(centroids)(F.col(vec_col))
@@ -255,7 +260,6 @@ def _train_centroids_distributed(
                 centroids = new
                 break
             centroids = new
-        assert centroids.shape == (n_centroids, dim)
         return centroids
     finally:
         sample.unpersist()
@@ -298,7 +302,7 @@ def ivf_topk(
     ``n_probe`` (== n_centroids is exhaustive/exact)."""
     if distributed_training:
         centroids = _train_centroids_distributed(
-            df, vec_col, id_col, n_centroids, seed=seed
+            df, vec_col, id_col, n_centroids
         )
     else:
         centroids = _train_centroids(
@@ -336,7 +340,7 @@ def ivf_build_index(
     spark = df.sparkSession
     if distributed_training:
         centroids = _train_centroids_distributed(
-            df, vec_col, id_col, n_centroids, seed=seed
+            df, vec_col, id_col, n_centroids
         )
     else:
         centroids = _train_centroids(
@@ -373,6 +377,52 @@ def ivf_probe_index(
     probes = [int(i) for i in np.argsort(-(centroids @ qn))[:n_probe]]
     indexed = spark.read.parquet(path).where(F.col("ivf_list").isin(probes))
     return brute_force_topk(indexed, query_vec, k, vec_col, id_col)
+
+
+def cosine_similar_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine similarity join: every ``(id_a, id_b)``
+    with ``id_a < id_b`` and cosine >= threshold — recall 1.0, the
+    oracle-able complement to :func:`embedding_near_duplicates` (which
+    shares the identical JVM cosine expression but only verifies
+    within LSH buckets).
+
+    O(n^2) by construction (broadcast nested-loop join on the id
+    inequality), so this is the small-table exact baseline and the
+    contract check for the cosine arithmetic; at 10^12 vectors use the
+    LSH-bucketed variant.  ``round_to`` rounds the cosine BEFORE the
+    threshold comparison — set it when cross-engine reproducibility of
+    the borderline decisions matters (the driver contract uses 6)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(c: str) -> F.Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cosine = dot / (norm("_va") * norm("_vb"))
+    if round_to is not None:
+        cosine = F.round(cosine, round_to)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def embedding_near_duplicates(

@@ -92,6 +92,14 @@ LEXICONS: Dict[str, Tuple[str, ...]] = {
     ).split(),
 }
 
+# Lexicons are SETS semantically (membership scoring); dedupe the
+# authored word lists (order-preserving) so consumers that iterate or
+# inline them — the DuckDB langid oracle joins tokens against a VALUES
+# relation — can't double-count a word that was typed twice.
+LEXICONS = {
+    lang: tuple(dict.fromkeys(words)) for lang, words in LEXICONS.items()
+}
+
 LANGS: Tuple[str, ...] = tuple(sorted(LEXICONS))
 
 # English stopwords used by the stop-word-fraction heuristic (C4 uses a

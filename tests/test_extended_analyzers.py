@@ -134,11 +134,15 @@ class TestDataTypeHistogram:
             "0", "007", "+1", "-1", "+", "-", "", " 1", "1 ", "+-3",
             "1.5", ".5", "5.", "+.5", "-5.", "1.5e3", "1.5E-3", "1.5e",
             "1e3", "1.2.3", "..", ".", "abc", "1a", "½", "٣", None,
+            "true\n", "123\n", "1.5\n", "\n",  # strict \z: all string
         ]
-        bool_re = re.compile(r"^(true|false)$")
-        int_re = re.compile(r"^[-+]?[0-9]+$")
+        # \Z (strict end of input) — the documented anchoring; a bare $
+        # would also match before one trailing newline in both Python
+        # and Java, which the classifier deliberately rejects
+        bool_re = re.compile(r"^(true|false)\Z")
+        int_re = re.compile(r"^[-+]?[0-9]+\Z")
         frac_re = re.compile(
-            r"^[-+]?([0-9]*\.[0-9]+|[0-9]+\.[0-9]*)([eE][-+]?[0-9]+)?$"
+            r"^[-+]?([0-9]*\.[0-9]+|[0-9]+\.[0-9]*)([eE][-+]?[0-9]+)?\Z"
         )
 
         def want_bucket(v):
@@ -160,6 +164,18 @@ class TestDataTypeHistogram:
             ).collect()
         ]
         assert got == [want_bucket(v) for v in cases]
+
+    def test_trailing_newline_is_string(self, spark):
+        # pinned contract: strict \z anchoring means a value carrying a
+        # trailing line terminator is a STRING, consistently across all
+        # buckets and matching DuckDB's RE2 `$` (end-of-text) oracle
+        df = spark.createDataFrame(
+            [("true\n",), ("123\n",), ("1.5\n",)], "v string"
+        )
+        s = DataTypeHistogram("v").compute_state_from(df)
+        assert (s.n_boolean, s.n_integral, s.n_fractional, s.n_string) == (
+            0, 0, 0, 3,
+        )
 
     def test_inferred_type(self, spark):
         ints = spark.createDataFrame([("1",), ("2",)], "v string")

@@ -97,3 +97,22 @@ def test_restart_resumes_from_commit_log(spark, tmp_path):
     assert metrics[analyzers[0]].value.get() == 100.0
     expected_mean = (sum(range(50)) + sum(range(100, 150))) / 100
     assert metrics[analyzers[1]].value.get() == pytest.approx(expected_mean)
+
+
+def test_null_bucket_rows_are_kept_on_later_deltas(spark, tmp_path):
+    # rows with a NULL bucket id must follow the same "ingest unless
+    # committed" policy on every delta — `~isin` alone yields NULL for
+    # them and where() would silently drop them after the first commit
+    repo = StateRepository(str(tmp_path))
+    analyzers = [Size(), Mean("v")]
+    b1 = spark.createDataFrame(
+        [("d1", 1.0), (None, 2.0)], "day string, v double"
+    )
+    first = incremental_metrics(repo, "r", analyzers, b1, "day")
+    assert first[analyzers[0]].value.get() == 2.0
+    b2 = spark.createDataFrame(
+        [("d2", 3.0), (None, 4.0)], "day string, v double"
+    )
+    second = incremental_metrics(repo, "r", analyzers, b2, "day")
+    assert second[analyzers[0]].value.get() == 4.0
+    assert second[analyzers[1]].value.get() == pytest.approx(2.5)

@@ -53,43 +53,50 @@ class TestExactDedup:
 
 
 class TestMinHash:
-    def test_shingle_hashes_byte_identical_to_naive(self):
-        # the byte-slice kernel must produce EXACTLY the hashes of the
-        # naive per-shingle join+encode+crc32 (signatures — and thus
-        # dedup survivors — are part of the stable contract output)
-        import zlib
+    def test_signatures_match_naive_md5_model(self, spark):
+        # the JVM signature aggregate must produce EXACTLY the naive
+        # per-doc model: min over distinct word-3-gram shingles of
+        # (a_i * md5_32(shingle) + b_i) mod p — this is the contract
+        # the DuckDB oracle replays (signatures and dedup survivors
+        # are stable cross-engine outputs)
+        import hashlib
 
-        import numpy as np
-
-        from hooqu_spark.ops.dedup import _shingle_hashes
+        from hooqu_spark.ops.dedup import _MERSENNE, _minhash_params
         from hooqu_spark.pipeline.synth import make_doc
 
-        def naive(text, k):
-            words = text.split()
+        a, b = _minhash_params(64)
+
+        def naive_sig(text, k=3):
+            words = (text or "").split()
             if len(words) < k:
-                shingles = [" ".join(words)] if words else [""]
+                sh = {" ".join(words)}
             else:
-                shingles = [
+                sh = {
                     " ".join(words[i : i + k])
                     for i in range(len(words) - k + 1)
-                ]
-            return np.unique(
-                np.array(
-                    [zlib.crc32(s.encode("utf-8")) for s in shingles],
-                    dtype=np.uint64,
-                )
-            )
+                }
+            hs = [
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                for s in sh
+            ]
+            return [
+                min((int(a[i]) * h + int(b[i])) % _MERSENNE for h in hs)
+                for i in range(64)
+            ]
 
         cases = [
             "", "one", "one two", "one two three", "a b c d e f g",
             "héllo wörld straße naïve 日本語 テスト mixé",  # multi-byte UTF-8
-            "x " * 500,
-        ] + [make_doc(i)["text"] for i in range(40)]
-        for k in (2, 3, 5):
-            for text in cases:
-                got = _shingle_hashes(text, k)
-                want = naive(text, k)
-                assert np.array_equal(got, want), (k, text[:40])
+        ] + [make_doc(i)["text"] for i in range(10)]
+        frame = spark.createDataFrame(
+            list(enumerate(cases)), "id long, text string"
+        )
+        got = {
+            r["id"]: r["signature"]
+            for r in minhash_signatures(frame, "id").collect()
+        }
+        for i, text in enumerate(cases):
+            assert got[i] == naive_sig(text), (i, text[:40])
 
     def test_signatures_deterministic_and_sized(self, docs):
         s1 = {r["id"]: r["signature"] for r in minhash_signatures(docs, "id").collect()}
@@ -148,6 +155,41 @@ class TestMinHash:
 
 
 class TestSimHash:
+    def test_simhash_matches_naive_md5_model(self, spark):
+        # the fused bit-vote aggregate must reproduce the naive model:
+        # token hash = md5 hex chars 1-8 (bits 0-31) | chars 9-16
+        # (bits 32-63), bit set iff a strict majority of tokens (with
+        # multiplicity) votes 1 — same rule the DuckDB oracle replays
+        import hashlib
+
+        from hooqu_spark.pipeline.synth import make_doc
+
+        def naive_sig(text):
+            words = (text or "").split()
+            if not words:
+                return 0
+            votes = [0] * 64
+            for w in words:
+                hx = hashlib.md5(w.encode("utf-8")).hexdigest()
+                h = int(hx[:8], 16) | (int(hx[8:16], 16) << 32)
+                for i in range(64):
+                    votes[i] += 1 if (h >> i) & 1 else -1
+            v = sum(1 << i for i in range(64) if votes[i] > 0)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        cases = [
+            "", "one", "one two", "a a a b", "héllo wörld 日本語",
+        ] + [make_doc(i)["text"] for i in range(10)]
+        frame = spark.createDataFrame(
+            list(enumerate(cases)), "id long, text string"
+        )
+        got = {
+            r["id"]: r["simhash"]
+            for r in simhash_signatures(frame, "id").collect()
+        }
+        for i, text in enumerate(cases):
+            assert got[i] == naive_sig(text), (i, text[:40])
+
     def test_signature_properties(self, docs):
         sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs, "id").collect()}
         assert sigs[0] == sigs[1]
@@ -318,6 +360,45 @@ class TestMultimodal:
         assert out[2]["format"] == "html"
         assert out[3]["n_bytes"] == 0
         assert out[0]["width"] >= 64  # deterministic fake decode
+
+    def test_custom_decoder_dispatch(self, media):
+        # a real-decoder stand-in (defined in-function: cloudpickle
+        # ships it by value) must receive the payload bytes and have
+        # its metadata land in the struct — proves the production
+        # Pillow path's dispatch without needing Pillow
+        class RecordingDecoder:
+            def decode_meta(self, payload):
+                return ("probed", len(payload) % 100, 7)
+
+        out = {
+            r["id"]: r["media_meta"]
+            for r in attach_binary_metadata(
+                media, decoder=RecordingDecoder()
+            ).collect()
+        }
+        assert out[0]["format"] == "probed"
+        assert out[0]["height"] == 7
+        assert out[0]["width"] == (5006 % 100)
+        assert out[3].asDict() == {
+            "n_bytes": 0, "format": "unknown", "width": None, "height": None,
+        }  # NULL payloads never reach the decoder
+
+    def test_default_decoder_selection_matches_environment(self):
+        from hooqu_spark.ops.multimodal import (
+            DETERMINISTIC_FAKE_DECODE,
+            FakeImageDecoder,
+            PillowImageDecoder,
+            _PILLOW_AVAILABLE,
+            default_image_decoder,
+        )
+
+        d = default_image_decoder()
+        if _PILLOW_AVAILABLE:
+            assert isinstance(d, PillowImageDecoder)
+            assert not DETERMINISTIC_FAKE_DECODE
+        else:
+            assert isinstance(d, FakeImageDecoder)
+            assert DETERMINISTIC_FAKE_DECODE
 
     def test_features_shape_and_determinism(self, media):
         a = {r["id"]: r["media_features"] for r in extract_binary_features(media).collect()}

@@ -39,6 +39,16 @@ def labeled(spark, pages):
 
 
 class TestSynth:
+    def test_lexicons_have_no_duplicate_words(self):
+        # the DuckDB langid oracle inlines LEXICONS as a VALUES relation
+        # and JOINs tokens against it — a duplicated word would multiply
+        # its count there while the bitmask kernel counts membership
+        # once, silently diverging the cross-engine contract
+        from hooqu_spark.pipeline.spec import LEXICONS
+
+        for lang, words in LEXICONS.items():
+            assert len(words) == len(set(words)), lang
+
     def test_deterministic_per_id(self):
         a, b = make_doc(42), make_doc(42)
         assert a == b

@@ -148,3 +148,95 @@ class TestNoCartesianProducts:
         p = plan_str(lsh_candidate_pairs(sigs))
         assert "CartesianProduct" not in p
         assert "band" in p  # joined on band keys
+
+
+class TestPlansSurviveAQE:
+    """The static-plan properties above are pinned with AQE off; the
+    production configs (bench.py, DEPLOY.md) enable AQE, so the
+    scale-critical properties must also hold in the FINAL adaptive
+    plan — asserted here by executing the query under
+    ``spark.sql.adaptive.enabled=true`` and inspecting the re-planned
+    ``executedPlan`` (``isFinalPlan=true``)."""
+
+    @pytest.fixture()
+    def aqe(self, spark):
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        yield spark
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+    @staticmethod
+    def final_plan(df) -> str:
+        df.collect()  # AQE finalizes the plan during execution
+        p = df._jdf.queryExecution().executedPlan().toString()
+        # the adaptive dump appends the pre-execution plan under an
+        # "== Initial Plan ==" header — keep only the final plan
+        return p.split("== Initial Plan ==")[0]
+
+    def test_contamination_broadcast_survives_aqe(self, aqe, documents):
+        from hooqu_spark.ops import flag_contamination
+
+        bench = documents.where(F.col("doc_id") < 5)
+        out = flag_contamination(documents, bench, "doc_id")
+        p = self.final_plan(out)
+        assert "isFinalPlan=true" in p
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_fused_agg_still_one_scan_under_aqe(self, aqe, lineitem):
+        from hooqu_spark.analyzers import Mean, Minimum, Size, Sum
+        from hooqu_spark.analyzers.base import apply_projections
+
+        analyzers = [
+            Size(),
+            Minimum("l_quantity"),
+            Sum("l_quantity"),
+            Mean("l_extendedprice"),
+        ]
+        agg_input = apply_projections(lineitem, analyzers)
+        exprs = []
+        for a in analyzers:
+            exprs.extend(a.aggregation_exprs(agg_input))
+        job = agg_input.agg(
+            *(e.alias(f"_x{i}") for i, e in enumerate(exprs))
+        )
+        p = self.final_plan(job)
+        assert "isFinalPlan=true" in p
+        assert p.count("Scan parquet") == 1
+        # AQE must not introduce extra shuffles into the fused aggregate
+        assert p.count("Exchange") == 1
+
+    def test_minhash_candidates_no_cartesian_under_aqe(
+        self, aqe, documents
+    ):
+        from hooqu_spark.ops.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(documents, "doc_id")
+        p = self.final_plan(lsh_candidate_pairs(sigs))
+        assert "isFinalPlan=true" in p
+        assert "CartesianProduct" not in p
+
+    def test_salted_counts_match_plain_under_aqe(self, aqe, lineitem):
+        # behavioral re-check: AQE re-planning (partition coalescing,
+        # skew splitting) must not change the salted aggregation result
+        from hooqu_spark.ops import salted_counts
+
+        got = {
+            r["l_returnflag"]: r["count"]
+            for r in salted_counts(
+                lineitem, ["l_returnflag"], n_salts=8
+            ).collect()
+        }
+        want = {
+            r["l_returnflag"]: r["n"]
+            for r in lineitem.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
