@@ -374,6 +374,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", F.col("count").alias("n")
         )
 
+    def salted_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Skew-safe two-phase DISTINCT counting (value-stable salt);
+        # must equal the plain count(distinct) per key.
+        from hooqu_spark.ops import salted_distinct_counts
+
+        df = _t(spark, sf_dir, "events")
+        return salted_distinct_counts(
+            df, ["event_type"], "user_id", n_salts=16
+        ).select(
+            "event_type", F.col("n_distinct").cast("long").alias("n_distinct")
+        )
+
     def quality_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Exercises the pipeline's single-pass Arrow UDF (langid +
         # perplexity + heuristics); the SQL-expressible features are
@@ -629,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample_documents": token_budget_query,
         "quality_features_documents": quality_features_query,
         "salted_counts_events_type": salted_counts_query,
+        "salted_distinct_events_user": salted_distinct_query,
         "topk_cosine_embeddings": topk_cosine_query,
         "ivf_topk_embeddings": ivf_topk_query,
         "minhash_dedup_documents": minhash_dedup_query,
@@ -966,6 +979,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "salted_counts_events_type": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "salted_distinct_events_user": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)"
+            " AS n_distinct FROM events GROUP BY event_type"
         ),
         "token_budget_sample_documents": (
             "WITH t AS (SELECT doc_id, lang,"

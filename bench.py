@@ -105,8 +105,33 @@ def pipeline_job(spark, pages_path: str) -> None:
     ).collect()
 
 
+def _wait_for_quiet_window(max_attempts: int = 4, sleep_s: int = 45) -> float:
+    """Gate the benchmark on a quiet host: measure the hardware CPU
+    scaling calibration (8 vs 32 plain-multiprocessing workers on the
+    actual kernel) and, if the host is visibly loaded (ratio << 4x),
+    sleep and retry a bounded number of times.  Round 2's committed
+    artifact was captured in a window with calibration 0.622 and
+    recorded two spurious ~20% regressions — the driver's artifact is
+    the record, so the bench itself must defend its window.  Returns
+    the best calibration seen (also reported as
+    ``hw_cpu_scaling_efficiency``)."""
+    best = 0.0
+    for attempt in range(max_attempts):
+        rate8 = max(_raw_cpu_rate(8) for _ in range(2))
+        rate32 = max(_raw_cpu_rate(32) for _ in range(2))
+        eff = (rate32 / rate8) / 4.0
+        best = max(best, eff)
+        if eff >= 0.75:
+            return eff
+        time.sleep(sleep_s)
+    return best
+
+
 def main() -> None:
     queries: dict[str, float] = {}
+
+    if RUN_SCALING:
+        _wait_for_quiet_window()
 
     spark = make_session(CPUS)
 
@@ -155,7 +180,7 @@ def main() -> None:
 
     # -- headline 3: full pipeline compute at max cores ---------------------
     pipeline_job(spark, PAGES_DIR)  # warm-up (python workers, JIT)
-    t_pipeline = min(timed(lambda: pipeline_job(spark, PAGES_DIR)) for _ in range(2))
+    t_pipeline = min(timed(lambda: pipeline_job(spark, PAGES_DIR)) for _ in range(3))
     queries["pipeline_enrich_rules_docs"] = t_pipeline
     queries["pipeline_docs_per_sec"] = round(N_DOCS / t_pipeline, 1)
 
@@ -166,7 +191,7 @@ def main() -> None:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         minhash_dedup(docs, "doc_id", threshold=0.7).count()
 
-    queries["minhash_dedup_documents"] = timed_min(q_dedup)
+    queries["minhash_dedup_documents"] = timed_min(q_dedup, reps=3)
 
     # -- headline 5: brute-force cosine top-k -------------------------------
     def q_topk():
@@ -212,7 +237,7 @@ def main() -> None:
         profile_columns(orders)
 
     q_profile()  # warm
-    queries["profile_columns_orders"] = timed_min(q_profile)
+    queries["profile_columns_orders"] = timed_min(q_profile, reps=3)
 
     # -- headline 8: skew-safe salted aggregation ---------------------------
     def q_salted():
@@ -222,6 +247,65 @@ def main() -> None:
         salted_counts(lineitem, ["l_returnflag"], n_salts=32).collect()
 
     queries["salted_counts_lineitem"] = timed_min(q_salted)
+
+    # -- headline 9: skew evidence — zipf-host distinct counting ------------
+    # A deterministic zipf-ish corpus (one host holding ~60% of 6M rows,
+    # every row a distinct user) hits the aggregation where salting
+    # matters: count(distinct) has no map-side collapse, so the plain
+    # plan ships the hot host's entire user set to ONE reducer.  We
+    # record wall time plain vs salted AND the simulated reducer input
+    # spread (max/mean rows per reducer under murmur3 hash partitioning
+    # — the same family Spark's hashpartitioning uses), which is the
+    # noise-free skew signal.
+    if RUN_SCALING:
+        from pyspark.sql import functions as F
+
+        from hooqu_spark.ops import salted_distinct_counts
+
+        n_rows, n_hosts = 6_000_000, 2000
+        skew = spark.range(n_rows).select(
+            F.when(F.col("id") % 5 < 3, F.lit("hot.example.com"))
+            .otherwise(
+                F.concat(
+                    F.lit("h"),
+                    F.pmod(F.xxhash64("id"), F.lit(n_hosts)).cast("string"),
+                )
+            )
+            .alias("host"),
+            F.col("id").alias("user_id"),
+        ).persist()
+        skew.count()  # materialize the input outside the timings
+
+        def q_skew_plain():
+            skew.groupBy("host").agg(
+                F.count_distinct("user_id").alias("n")
+            ).collect()
+
+        def q_skew_salted():
+            salted_distinct_counts(skew, ["host"], "user_id", 32).collect()
+
+        queries["skew_distinct_plain_sec"] = timed_min(q_skew_plain)
+        queries["skew_distinct_salted_sec"] = timed_min(q_skew_salted)
+
+        def reducer_spread(*cols) -> float:
+            loads = [
+                r["n"]
+                for r in skew.groupBy(
+                    F.pmod(F.hash(*cols), F.lit(CPUS)).alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            return max(loads) / (sum(loads) / CPUS)
+
+        salt = F.pmod(F.xxhash64("user_id"), F.lit(32))
+        queries["skew_reducer_spread_plain"] = round(
+            reducer_spread(F.col("host")), 2
+        )
+        queries["skew_reducer_spread_salted"] = round(
+            reducer_spread(F.col("host"), salt), 2
+        )
+        skew.unpersist()
 
     spark.stop()
 
@@ -293,11 +377,16 @@ def main() -> None:
     # headline total = the sf-scaled queries only; the scaling-evidence
     # runs (pipeline_sec_c8/c32 over the larger fixed-size corpus) are
     # reported as their own keys, not folded into the total
+    # (skew_* keys are fixed-size synthetic evidence, not sf-scaled
+    # queries — excluded so bench_total_sec stays comparable to earlier
+    # rounds' artifacts)
     total = round(
         sum(
             v
             for k, v in queries.items()
-            if not k.startswith(("pipeline_docs", "pipeline_sec_c", "scaling"))
+            if not k.startswith(
+                ("pipeline_docs", "pipeline_sec_c", "scaling", "skew_", "hw_")
+            )
         ),
         3,
     )

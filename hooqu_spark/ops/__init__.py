@@ -40,6 +40,7 @@ from .similarity import (
 from .skew import (
     salted_agg,
     salted_counts,
+    salted_distinct_counts,
     salted_numeric_summary,
     top_hot_keys,
 )
@@ -84,6 +85,7 @@ __all__ = [
     "ngram_jaccard_dedup",
     "quality_features",
     "salted_agg",
+    "salted_distinct_counts",
     "salted_counts",
     "salted_numeric_summary",
     "sample_to_token_budget",

@@ -54,6 +54,21 @@ def exact_dedup(df: DataFrame, subset: List[str], id_col: str) -> DataFrame:
 # MinHash
 # ---------------------------------------------------------------------------
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Spread a too-coarse scan across cores before CPU-heavy per-row
+    expressions.  A single small parquet file (one row group) arrives
+    as ONE partition, which would serialize the shingle/hash kernels no
+    matter how many cores the cluster has — AQE only coalesces, it
+    never splits a non-shuffle stage.  Repartition round-robin only
+    when the input has fewer partitions than the default parallelism;
+    at production scale (many files / row groups per executor) this is
+    a no-op, so no shuffle is added where it matters."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _minhash_params(n_hashes: int, seed: int = 7):
     """Universal-hash family ``h_i(x) = (a_i * x + b_i) mod p`` with
     ``p = 2^61 - 1`` and ``a_i < 2^30`` (see ``_MAX_A``).  Deterministic
@@ -78,10 +93,25 @@ def shingle_frame(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int
 ) -> DataFrame:
     """``(id, sh array<string>)`` — each doc's distinct word
-    ``shingle_size``-gram strings as a pure Catalyst projection."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        _shingle_str_col(text_col, shingle_size).alias("sh"),
+    ``shingle_size``-gram strings as a pure Catalyst projection.
+
+    Two-step projection on purpose: the tokenized words array is
+    aliased in its OWN select before the shingle expression references
+    it ``k+1`` times.  Catalyst does not CSE repeated sub-expressions
+    inside higher-order lambdas, so a single fused expression would
+    re-split the text once per reference; the separate projection
+    evaluates the split exactly once per row (CollapseProject keeps
+    projections apart rather than duplicate an expensive alias —
+    SPARK-36718)."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    tokenized = _spread_small_input(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), words.alias("_w")
+    )
+    return tokenized.select(
+        "id", _shingles_of_words(F.col("_w"), shingle_size).alias("sh")
     )
 
 
@@ -98,7 +128,12 @@ def _signatures_from_shingles(
     (empty text yields the [""] shingle), so no rows are lost to the
     explode."""
     a, b = _minhash_params(n_hashes)
-    ex = sh_df.select("id", F.explode("sh").alias("_s")).select(
+    # explode_outer: plain explode makes the optimizer infer a
+    # `size(sh) > 0` filter that re-evaluates the whole shingle
+    # expression a second time below the exchange; the outer variant
+    # skips the inferred filter, and `sh` is never empty anyway (empty
+    # docs yield the [""] shingle)
+    ex = sh_df.select("id", F.explode_outer("sh").alias("_s")).select(
         "id", _str_hash32(F.col("_s")).alias("_h")
     )
     p = F.lit(_MERSENNE)
@@ -257,7 +292,7 @@ def simhash_signatures(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda x: x != F.lit(""),
     )
-    tok = df.select(
+    tok = _spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.explode_outer(words).alias("_w")
     )
     hx = F.md5("_w")
@@ -530,20 +565,18 @@ def dedup_by_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
-def _shingle_str_col(text_col: str, shingle_size: int):
-    """Distinct word ``shingle_size``-gram STRINGS as a Catalyst array
-    expression (tokens = non-empty chunks of a whitespace split; docs
-    shorter than the shingle size contribute their full text as the
-    single shingle, mirroring ``_shingle_hashes``).
+def _shingles_of_words(words: F.Column, shingle_size: int) -> F.Column:
+    """Distinct ``shingle_size``-gram strings from a words-array column
+    (docs shorter than the shingle size contribute their full joined
+    text as the single shingle).
 
     Built from ``k`` shifted slices folded with ``zip_with`` —
     3 array copies TOTAL per doc instead of one ``slice``+``concat_ws``
     per shingle (the naive ``transform(sequence(...))`` spelling is
-    ~5x slower: higher-order slices are O(k) copies per element)."""
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    ~5x slower: higher-order slices are O(k) copies per element).
+    Callers should alias ``words`` in its own projection first
+    (see :func:`shingle_frame`) — this expression references it
+    ``k + 2`` times and Catalyst does not CSE inside lambdas."""
     k = shingle_size
     n = F.size(words)
     cnt = n - F.lit(k - 1)
@@ -557,6 +590,20 @@ def _shingle_str_col(text_col: str, shingle_size: int):
     return F.when(
         n < k, F.array(F.array_join(words, " "))
     ).otherwise(F.array_distinct(acc))
+
+
+def _shingle_str_col(text_col: str, shingle_size: int):
+    """Distinct word ``shingle_size``-gram STRINGS as a single Catalyst
+    array expression (tokens = non-empty chunks of a whitespace split).
+    Prefer :func:`shingle_frame` in per-document hot paths — it
+    evaluates the tokenizing split once per row; this fused form is for
+    contexts that need one inline expression (e.g. the broadcast side
+    of the decontamination join)."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    return _shingles_of_words(words, shingle_size)
 
 
 def jaccard_similar_pairs(
@@ -585,10 +632,7 @@ def jaccard_similar_pairs(
     exploded shingle index.
     """
     k = shingle_size
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        _shingle_str_col(text_col, k).alias("sh"),
-    ).persist()
+    sh = shingle_frame(df, id_col, text_col, k).persist()
     try:
         ex = sh.select(
             "id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")

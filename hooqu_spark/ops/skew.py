@@ -112,6 +112,37 @@ def salted_numeric_summary(
     return out.withColumn("mean", F.col("sum") / F.col("n"))
 
 
+def salted_distinct_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe ``groupBy(keys).agg(count_distinct(value_col))``
+    (output column ``n_distinct``) — the aggregation where salting
+    matters MOST: distinct counting has no map-side collapse (every
+    (key, value) pair survives the partial phase), so a hot key ships
+    its entire value set to ONE reducer in the plain plan.
+
+    The salt here must be VALUE-stable — ``pmod(xxhash64(value), n)``
+    — so every occurrence of a value lands in exactly one salt bucket
+    and per-salt distinct counts add up without double counting
+    (``_salt_col``'s row-position salt would split a value across
+    buckets and overcount).  NULL values hash to a fixed bucket and are
+    excluded by ``count_distinct``'s NULL semantics, matching the plain
+    aggregate."""
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    phase1 = (
+        df.withColumn(_SALT, salt)
+        .groupBy(*keys, _SALT)
+        .agg(F.count_distinct(F.col(value_col)).alias("n_distinct"))
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("n_distinct").alias("n_distinct")
+    )
+
+
 def top_hot_keys(
     df: DataFrame, keys: Sequence[str], k: int = 20, n_salts: int = 16
 ) -> DataFrame:

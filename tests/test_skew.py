@@ -76,6 +76,57 @@ class TestSaltedAgg:
         }
         assert salted == plain
 
+    def test_distinct_counts_match_plain(self, skewed):
+        from hooqu_spark.ops import salted_distinct_counts
+
+        plain = {
+            r["host"]: r["n"]
+            for r in skewed.groupBy("host")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        }
+        salted = {
+            r["host"]: r["n_distinct"]
+            for r in salted_distinct_counts(
+                skewed, ["host"], "v", n_salts=8
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_distinct_counts_null_values_excluded(self, spark):
+        from hooqu_spark.ops import salted_distinct_counts
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 1.0), ("b", None)],
+            "host string, v double",
+        )
+        got = {
+            r["host"]: r["n_distinct"]
+            for r in salted_distinct_counts(df, ["host"], "v").collect()
+        }
+        # count_distinct ignores NULLs: a -> {1.0}, b -> {}
+        assert got == {"a": 1, "b": 0}
+
+    def test_distinct_value_lands_in_one_salt_bucket(self, skewed):
+        # the salt must be value-stable: per-salt distinct counts sum
+        # to the true distinct count only if no value straddles buckets
+        from hooqu_spark.ops import salted_distinct_counts
+
+        doubled = skewed.unionByName(skewed)  # duplicate every row
+        plain = {
+            r["host"]: r["n"]
+            for r in doubled.groupBy("host")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        }
+        salted = {
+            r["host"]: r["n_distinct"]
+            for r in salted_distinct_counts(
+                doubled, ["host"], "v", n_salts=16
+            ).collect()
+        }
+        assert salted == plain
+
     def test_numeric_summary_matches(self, skewed):
         want = {
             r["host"]: r
