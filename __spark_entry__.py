@@ -272,6 +272,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " n_string long, n_null long",
         )
 
+    def has_data_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Drives the has_data_type check method end-to-end (its
+        # VERDICT-noted direct contract row): the dominant-type
+        # fraction of the derived mixed column plus the check status.
+        from hooqu_spark import Check, CheckLevel, VerificationSuite
+
+        df = _t(spark, sf_dir, "events").withColumn(
+            "v",
+            F.when(F.col("event_id") % 4 == 0, F.lit("true"))
+            .when(F.col("event_id") % 4 == 1, F.col("event_id").cast("string"))
+            .when(
+                F.col("event_id") % 4 == 2,
+                F.concat(F.col("event_id").cast("string"), F.lit(".5")),
+            )
+            .otherwise(F.lit("txt")),
+        )
+        result = (
+            VerificationSuite()
+            .on_data(df)
+            .add_check(
+                Check(CheckLevel.ERROR, "dtype").has_data_type(
+                    "v", lambda frac: 0.2 < frac < 0.3
+                )
+            )
+            .run()
+        )
+        frac = next(iter(result.metrics.values())).value.get()
+        return spark.createDataFrame(
+            [(round(float(frac), 6), result.status.name)],
+            "dominant_frac double, status string",
+        )
+
     def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # IVF with n_probe == n_centroids is exhaustive -> exact top-k,
         # so the brute-force SQL oracle applies; partial-probe recall is
@@ -630,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multi-column / typed extensions --
         "correlation_lineitem_qty_price": correlation_query,
         "data_type_histogram_events": data_type_query,
+        "has_data_type_check_events": has_data_type_query,
         # -- training-data ops --
         "dedup_exact_documents": dedup_exact_query,
         "token_count_documents": token_count_query,
@@ -955,6 +988,27 @@ def oracle_sql() -> dict[str, str]:
             "   THEN 1 ELSE 0 END) AS BIGINT) AS n_string,"
             " CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
             " AS n_null FROM d"
+        ),
+        "has_data_type_check_events": (
+            "WITH d AS (SELECT CASE"
+            " WHEN event_id % 4 = 0 THEN 'true'"
+            " WHEN event_id % 4 = 1 THEN CAST(event_id AS VARCHAR)"
+            " WHEN event_id % 4 = 2 THEN CAST(event_id AS VARCHAR) || '.5'"
+            " ELSE 'txt' END AS v FROM events),"
+            " b AS (SELECT"
+            " sum(CASE WHEN regexp_matches(v, '^(true|false)$')"
+            "   THEN 1 ELSE 0 END) AS nb,"
+            " sum(CASE WHEN regexp_matches(v, '^[-+]?[0-9]+$')"
+            "   THEN 1 ELSE 0 END) AS ni,"
+            " sum(CASE WHEN regexp_matches(v,"
+            "   '^[-+]?([0-9]*\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][-+]?[0-9]+)?$')"
+            "   THEN 1 ELSE 0 END) AS nf,"
+            " count(v) AS nn FROM d),"
+            " f AS (SELECT round(greatest(nb, ni, nf, nn - nb - ni - nf)"
+            " / CAST(nn AS DOUBLE), 6) AS dominant_frac FROM b)"
+            " SELECT dominant_frac, CASE WHEN dominant_frac > 0.2 AND"
+            " dominant_frac < 0.3 THEN 'SUCCESS' ELSE 'ERROR' END AS status"
+            " FROM f"
         ),
         "ivf_topk_embeddings": (
             "WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings"

@@ -61,7 +61,11 @@ def main(argv=None) -> int:
     if args.synthesize:
         pages = synthesize(spark, args.synthesize)
     elif args.input:
-        pages = spark.read.parquet(args.input)
+        # path -> parquet; bare identifier -> catalog table (Iceberg
+        # when the catalog is configured; see DEPLOY.md)
+        from hooqu_spark.sources import read_pages
+
+        pages = read_pages(spark, args.input)
     else:
         p.error("one of --input or --synthesize is required")
 
