@@ -248,21 +248,25 @@ def main() -> None:
 
     queries["salted_counts_lineitem"] = timed_min(q_salted)
 
-    # -- headline 9: skew evidence — zipf-host distinct counting ------------
-    # A deterministic zipf-ish corpus (one host holding ~60% of 6M rows,
-    # every row a distinct user) hits the aggregation where salting
-    # matters: count(distinct) has no map-side collapse, so the plain
-    # plan ships the hot host's entire user set to ONE reducer.  We
-    # record wall time plain vs salted AND the simulated reducer input
-    # spread (max/mean rows per reducer under murmur3 hash partitioning
-    # — the same family Spark's hashpartitioning uses), which is the
-    # noise-free skew signal.
+    # -- headline 9: skew evidence — zipf-host exact-distinct ---------------
+    # A deterministic zipf-ish corpus (one host holding ~60% of 12M
+    # rows, every row a distinct user).  NOTE: Spark already two-phases
+    # `count_distinct` by (key, value), so THAT plain spelling does not
+    # skew; the skew shows in aggregations WITHOUT the rewrite —
+    # collect_set/collect_list, applyInPandas, custom UDAFs — where the
+    # hot key's entire value set merges on ONE reducer.  We compare the
+    # collect_set spelling of exact distinct counting against
+    # salted_distinct_counts (same result, value-stable salt), and also
+    # record the simulated reducer input spread (max/mean rows per
+    # reducer under murmur3 partitioning — the same family Spark's
+    # hashpartitioning uses) for the host-keyed vs salted shuffles:
+    # the noise-free signal of what a 1000-executor cluster would see.
     if RUN_SCALING:
         from pyspark.sql import functions as F
 
         from hooqu_spark.ops import salted_distinct_counts
 
-        n_rows, n_hosts = 6_000_000, 2000
+        n_rows, n_hosts = 12_000_000, 2000
         skew = spark.range(n_rows).select(
             F.when(F.col("id") % 5 < 3, F.lit("hot.example.com"))
             .otherwise(
@@ -278,7 +282,7 @@ def main() -> None:
 
         def q_skew_plain():
             skew.groupBy("host").agg(
-                F.count_distinct("user_id").alias("n")
+                F.size(F.collect_set("user_id")).alias("n")
             ).collect()
 
         def q_skew_salted():
