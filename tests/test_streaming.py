@@ -278,3 +278,53 @@ class TestStreamingQualityFilter:
         n1 = spark.read.parquet(out).count()
         run_once()  # replay: no new source data, checkpoint intact
         assert spark.read.parquet(out).count() == n1 > 0
+
+
+class TestStreamingDedup:
+    def _run(self, spark, tmp_path, fingerprint):
+        import datetime as dt
+
+        from hooqu_spark.streaming import streaming_dedup
+
+        base = dt.datetime(2026, 8, 17, 12, 0, 0)
+        src = str(tmp_path / f"src_{fingerprint}")
+        out = str(tmp_path / f"out_{fingerprint}")
+        ckpt = str(tmp_path / f"ckpt_{fingerprint}")
+        rows1 = [
+            (base, "u1", "hello world"),
+            (base + dt.timedelta(minutes=1), "u2", "other text"),
+            (base + dt.timedelta(minutes=2), "u3", "hello world"),  # dup of u1
+        ]
+        rows2 = [
+            (base + dt.timedelta(minutes=3), "u4", "hello world"),  # dup again
+            (base + dt.timedelta(minutes=4), "u5", "fresh page"),
+        ]
+        schema = "ts timestamp, url string, text string"
+        spark.createDataFrame(rows1, schema).write.parquet(src + "/b1")
+        spark.createDataFrame(rows2, schema).write.parquet(src + "/b2")
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        deduped = streaming_dedup(
+            stream, ["text"], "ts", delay="1 hour", fingerprint=fingerprint
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    def test_duplicate_texts_dropped_within_watermark(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, fingerprint=True)
+        texts = sorted(r["text"] for r in got.collect())
+        assert texts == ["fresh page", "hello world", "other text"]
+        # the fingerprint helper column never reaches the sink
+        assert "_hooqu_fp" not in got.columns
+
+    def test_raw_key_mode_matches(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, fingerprint=False)
+        assert sorted(r["text"] for r in got.collect()) == [
+            "fresh page", "hello world", "other text",
+        ]
