@@ -594,6 +594,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = _t(spark, sf_dir, "documents")
         return simhash_signatures(df, "doc_id").withColumnRenamed("id", "doc_id")
 
+    def simhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Full dedup survivor set: 4x16-bit pigeonhole buckets +
+        # hamming<=3 verify, all replayed in the DuckDB oracle
+        # (chunk equality via HUGEINT arithmetic, hamming via
+        # bit_count(xor) on the signed signatures).
+        from hooqu_spark.ops import simhash_dedup
+
+        df = _t(spark, sf_dir, "documents")
+        return simhash_dedup(df, "doc_id").select("doc_id")
+
     def cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Exact all-pairs cosine join (recall 1.0): the oracle-able
         # complement to the LSH near_dup_pairs query — hash-verifies
@@ -680,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_documents": minhash_dedup_query,
         "minhash_signatures_documents": minhash_signatures_query,
         "simhash_signatures_documents": simhash_query,
+        "simhash_dedup_documents": simhash_dedup_query,
         "cosine_pairs_embeddings": cosine_pairs_query,
         "media_metadata_documents": media_metadata_query,
         "fingerprints_documents": fingerprints_query,
@@ -751,6 +762,29 @@ def oracle_sql() -> dict[str, str]:
     simhash_value = " + ".join(
         f"CASE WHEN 2*c{i} > n THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
         for i in range(64)
+    )
+    # shared CTE chain computing each doc's unsigned (us) and signed
+    # (sig) simhash — used by both the signature and the dedup oracle
+    simhash_cte = (
+        "WITH w AS (SELECT doc_id,"
+        " list_filter(regexp_split_to_array(coalesce(text,''),"
+        " '\\s+'), x -> x <> '') AS ws FROM documents),"
+        " tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),"
+        " th AS (SELECT doc_id,"
+        " ('0x' || substr(md5(wd),1,8))::UBIGINT AS h1,"
+        " ('0x' || substr(md5(wd),9,8))::UBIGINT AS h2 FROM tok),"
+        f" c AS (SELECT doc_id, count(*) AS n, {simhash_bit_sums}"
+        " FROM th GROUP BY doc_id),"
+        f" s AS (SELECT doc_id, ({simhash_value}) AS us FROM c),"
+        " sg AS (SELECT d.doc_id, coalesce(s.us, 0::HUGEINT) AS us,"
+        " CAST(coalesce(CASE WHEN s.us >= 9223372036854775808::HUGEINT"
+        " THEN s.us - 18446744073709551616::HUGEINT ELSE s.us END, 0)"
+        " AS BIGINT) AS sig FROM documents d LEFT JOIN s USING (doc_id))"
+    )
+    simhash_chunk_or = " OR ".join(
+        f"((a.us // {1 << (16 * k)}::HUGEINT) % 65536)"
+        f" = ((b.us // {1 << (16 * k)}::HUGEINT) % 65536)"
+        for k in range(4)
     )
     # langid oracle: the (small) lexicons inlined as a VALUES relation;
     # scoring is occurrence-count membership per language, argmax with
@@ -1129,21 +1163,16 @@ def oracle_sql() -> dict[str, str]:
             " WHERE doc_id NOT IN (SELECT ib FROM lo)"
         ),
         "simhash_signatures_documents": (
-            "WITH w AS (SELECT doc_id,"
-            " list_filter(regexp_split_to_array(coalesce(text,''),"
-            " '\\s+'), x -> x <> '') AS ws FROM documents),"
-            " tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),"
-            " th AS (SELECT doc_id,"
-            " ('0x' || substr(md5(wd),1,8))::UBIGINT AS h1,"
-            " ('0x' || substr(md5(wd),9,8))::UBIGINT AS h2 FROM tok),"
-            f" c AS (SELECT doc_id, count(*) AS n, {simhash_bit_sums}"
-            " FROM th GROUP BY doc_id),"
-            f" s AS (SELECT doc_id, ({simhash_value}) AS us FROM c)"
-            " SELECT d.doc_id, CAST(coalesce(CASE WHEN s.us >="
-            " 9223372036854775808::HUGEINT THEN"
-            " s.us - 18446744073709551616::HUGEINT ELSE s.us END, 0)"
-            " AS BIGINT) AS simhash"
-            " FROM documents d LEFT JOIN s USING (doc_id)"
+            f"{simhash_cte}"
+            " SELECT doc_id, sig AS simhash FROM sg"
+        ),
+        "simhash_dedup_documents": (
+            f"{simhash_cte},"
+            " lo AS (SELECT DISTINCT b.doc_id AS ib FROM sg a JOIN sg b"
+            f" ON a.doc_id < b.doc_id WHERE ({simhash_chunk_or})"
+            " AND bit_count(xor(a.sig, b.sig)) <= 3)"
+            " SELECT doc_id FROM documents"
+            " WHERE doc_id NOT IN (SELECT ib FROM lo)"
         ),
         # Rows-only (genuinely un-oracle-able in DuckDB):
         # fingerprints_documents (xxhash64 absent from DuckDB 1.0),

@@ -222,6 +222,29 @@ class TestSimilarity:
         assert set(got) == expected
         assert got[0] == 3  # self is the best match
 
+    def test_cosine_similar_pairs_matches_numpy_brute_force(self, vecs):
+        from hooqu_spark.ops import cosine_similar_pairs
+
+        pdf = vecs.toPandas()
+        mat = np.asarray(pdf["embedding"].tolist())
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        t = 0.5
+        want = {
+            (i, j): cos[i, j]
+            for i in range(len(mat))
+            for j in range(i + 1, len(mat))
+            if cos[i, j] >= t
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in cosine_similar_pairs(vecs, threshold=t).collect()
+        }
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, abs=1e-9)
+        assert (3, 7) in got  # the engineered near-duplicate pair
+
     def test_lsh_topk_finds_near_duplicate(self, vecs):
         pdf = vecs.toPandas()
         q = np.asarray(pdf["embedding"].tolist())[3]
