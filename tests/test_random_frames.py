@@ -212,3 +212,85 @@ def test_analyzers_match_pandas_on_random_frame(spark, seed):
         float(filt.min()) if len(filt) else float("nan"),
         "min where",
     )
+
+
+@pytest.mark.parametrize("seed", range(100, 100 + 15))
+def test_extension_analyzers_match_pandas_on_random_frame(spark, seed):
+    """Same strategy for the Deequ-style extension analyzers the
+    reference never reached: independent pandas/numpy kernels as the
+    oracle on NaN/inf/NULL/empty frames."""
+    from hooqu_spark.analyzers import (
+        Correlation,
+        CountDistinct,
+        Distinctness,
+        Entropy,
+        MaxLength,
+        MinLength,
+        UniqueValueRatio,
+    )
+
+    rows = random_rows(seed)
+    df = spark.createDataFrame(rows, SCHEMA)
+    pdf = pd.DataFrame(rows, columns=["item", "att1", "att2"])
+    n = len(pdf)
+
+    analyzers = [
+        Distinctness(["item"]),
+        UniqueValueRatio(["att2"]),
+        CountDistinct(["item"]),
+        Entropy(["item"]),
+        MinLength("item"),
+        MaxLength("item"),
+        Correlation("att1", "att2"),
+    ]
+    ctx = do_analysis_run(df, analyzers)
+    m = {i: ctx.metric(a) for i, a in enumerate(analyzers)}
+
+    items = pdf["item"].dropna() if n else pd.Series([], dtype=object)
+    counts = items.value_counts()
+    assert_metric(
+        m[0],
+        float(len(counts) / counts.sum()) if counts.sum() else "fail",
+        "distinctness",
+    )
+    att2 = pdf["att2"].dropna() if n else pd.Series([], dtype=float)
+    c2 = att2.value_counts()
+    assert_metric(
+        m[1],
+        float((c2 == 1).sum() / len(c2)) if len(c2) else "fail",
+        "uvr",
+    )
+    # CountDistinct: distinct non-null keys; empty/all-null input is an
+    # EmptyState failure (grouping semantics), mirroring the engine
+    assert_metric(
+        m[2], float(len(counts)) if len(counts) else "fail", "count distinct"
+    )
+    if counts.sum():
+        p = counts / counts.sum()
+        exp_entropy = float(-(p * np.log(p)).sum())
+    else:
+        exp_entropy = "fail"
+    assert_metric(m[3], exp_entropy, "entropy")
+    # Min/MaxLength mirror Minimum/Maximum's NaN parity on empty input
+    lens = items.map(len) if len(items) else pd.Series([], dtype=float)
+    assert_metric(
+        m[4], float(lens.min()) if len(lens) else float("nan"), "min length"
+    )
+    assert_metric(
+        m[5], float(lens.max()) if len(lens) else float("nan"), "max length"
+    )
+    # Correlation: pairwise-complete rows (NaN mirrors NULL via
+    # nanvl; ±inf rows PARTICIPATE and poison the co-moments to
+    # NaN/inf on both sides, so assert only on all-finite frames —
+    # degenerate cases must still not crash)
+    a = pdf["att1"].astype(float) if n else pd.Series([], dtype=float)
+    b = pdf["att2"].astype(float) if n else pd.Series([], dtype=float)
+    mask = a.notna() & b.notna()
+    av, bv = a[mask].to_numpy(), b[mask].to_numpy()
+    finite = np.isfinite(av).all() and np.isfinite(bv).all()
+    if finite and len(av) >= 1 and np.std(av) > 0 and np.std(bv) > 0:
+        exp_corr = float(
+            ((av - av.mean()) * (bv - bv.mean())).mean()
+            / (np.std(av) * np.std(bv))
+        )
+        assert_metric(m[6], exp_corr, "correlation")
