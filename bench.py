@@ -113,25 +113,27 @@ def _wait_for_quiet_window(max_attempts: int = 4, sleep_s: int = 45) -> float:
     artifact was captured in a window with calibration 0.622 and
     recorded two spurious ~20% regressions — the driver's artifact is
     the record, so the bench itself must defend its window.  Returns
-    the best calibration seen (also reported as
-    ``hw_cpu_scaling_efficiency``)."""
-    best = 0.0
+    the calibration of the window the bench proceeds in (recorded as
+    ``hw_gate_calibration``; excluded from the seconds total)."""
+    eff = 0.0
     for attempt in range(max_attempts):
         rate8 = max(_raw_cpu_rate(8) for _ in range(2))
         rate32 = max(_raw_cpu_rate(32) for _ in range(2))
         eff = (rate32 / rate8) / 4.0
-        best = max(best, eff)
-        if eff >= 0.75:
-            return eff
+        if eff >= 0.75 or attempt == max_attempts - 1:
+            break
         time.sleep(sleep_s)
-    return best
+    return eff
 
 
 def main() -> None:
     queries: dict[str, float] = {}
 
     if RUN_SCALING:
-        _wait_for_quiet_window()
+        # the calibration the HEADLINE timings actually ran under —
+        # recorded separately from hw_cpu_scaling_efficiency, which is
+        # re-measured in the scaling section ~10 min later
+        queries["hw_gate_calibration"] = round(_wait_for_quiet_window(), 3)
 
     spark = make_session(CPUS)
 
@@ -381,9 +383,13 @@ def main() -> None:
     # headline total = the sf-scaled queries only; the scaling-evidence
     # runs (pipeline_sec_c8/c32 over the larger fixed-size corpus) are
     # reported as their own keys, not folded into the total
-    # (skew_* keys are fixed-size synthetic evidence, not sf-scaled
-    # queries — excluded so bench_total_sec stays comparable to earlier
-    # rounds' artifacts)
+    # skew_* keys are fixed-size synthetic evidence, not sf-scaled
+    # queries; hw_* are dimensionless calibration ratios that r2's
+    # total accidentally summed as if they were seconds (a units bug:
+    # BENCH_r02.json's 14.576 = 13.954s of queries + 0.622 of
+    # efficiency) — both excluded, so r3 totals are pure seconds and
+    # cross-round comparisons must use the query sum, not r2's raw
+    # total
     total = round(
         sum(
             v

@@ -223,12 +223,19 @@ def incremental_metrics(
     if committed:
         from pyspark.sql import functions as F
 
-        # NULL bucket ids: `isin` evaluates to NULL (not false), and a
-        # bare negation would silently drop those rows — keep them
-        # explicitly so NULL-bucket deltas follow the same
-        # "ingest unless committed" policy as every other bucket.
-        c = F.col(partition_col).cast("string")
-        delta_df = delta_df.where(c.isNull() | ~c.isin(committed))
+        # NULL bucket ids: the state log stringifies a NULL bucket as
+        # "None" (compute_partition_states), so the skip filter must
+        # use the SAME marker — a bare `~isin` yields NULL (row
+        # silently dropped even when never committed), while keeping
+        # NULL rows unconditionally would double-count them on retry.
+        # Net semantics: all NULL-bucket rows form one bucket ("None")
+        # that ingests exactly once, like any other bucket.  (A bucket
+        # whose id is the literal string "None" aliases it — derive
+        # real ids.)
+        c = F.coalesce(
+            F.col(partition_col).cast("string"), F.lit("None")
+        )
+        delta_df = delta_df.where(~c.isin(committed))
     records = compute_partition_states(delta_df, list(analyzers), partition_col)
     repository.save(run_id, records)
     return repository.merged_metrics(run_id, analyzers)

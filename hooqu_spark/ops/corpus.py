@@ -25,7 +25,7 @@ from typing import Dict
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _shingle_str_col
+from .dedup import _shingle_str_col, shingle_frame
 
 
 def dedup_lines_by_frequency(
@@ -151,6 +151,11 @@ def flag_contamination(
     aggregate per doc id (map-side combine).  At 10^12 docs this is
     one scan + one broadcast — the standard decontamination shape.
     """
+    # benchmark side: tiny (eval suites), the fused inline expression
+    # is fine; corpus side: the 10^12-doc scan — shingle_frame's
+    # two-step projection tokenizes each doc ONCE and explode_outer
+    # skips the optimizer's inferred size()>0 filter (which would
+    # re-evaluate the whole shingle expression a second time)
     bench_shingles = F.broadcast(
         benchmark.select(
             F.explode(
@@ -158,9 +163,8 @@ def flag_contamination(
             ).alias("_sh")
         ).distinct()
     )
-    doc_shingles = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_shingle_str_col(text_col, shingle_size)).alias("_sh"),
+    doc_shingles = shingle_frame(df, id_col, text_col, shingle_size).select(
+        F.col("id").alias("_id"), F.explode_outer("sh").alias("_sh")
     )
     overlaps = (
         doc_shingles.join(bench_shingles, on="_sh")

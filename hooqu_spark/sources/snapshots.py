@@ -38,11 +38,18 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """Read the pages table from either an Iceberg table identifier or
     a parquet path.
 
-    Dispatch rule: a path-looking source (contains ``/`` or a URI
-    scheme) reads as parquet; anything else is treated as a catalog
-    table name (``spark.table`` resolves Iceberg tables when the
-    catalog is configured — see DEPLOY.md)."""
-    if "/" in source or "://" in source:
+    Dispatch rule: anything path-looking reads as parquet — a ``/`` or
+    URI scheme, a ``.parquet`` suffix, or a path that exists on the
+    local filesystem (so relative paths like ``pages.parquet`` keep
+    working).  Everything else is treated as a catalog table name
+    (``spark.table`` resolves Iceberg tables when the catalog is
+    configured — see DEPLOY.md)."""
+    if (
+        "/" in source
+        or "://" in source
+        or source.endswith(".parquet")
+        or os.path.exists(source)
+    ):
         return spark.read.parquet(source)
     return spark.table(source)
 
@@ -93,7 +100,16 @@ class IcebergSnapshotSource:
         return [str(r["snapshot_id"]) for r in rows]
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
-        parent = self._parents.get(snapshot_id)
+        # "no parent" (first snapshot) and "parent not cached" must not
+        # be conflated — the latter would silently return the FULL
+        # table state instead of the delta and double-count everything.
+        if snapshot_id not in self._parents:
+            self.snapshot_ids(spark)
+        if snapshot_id not in self._parents:
+            raise ValueError(
+                f"unknown snapshot {snapshot_id!r} for table {self.table}"
+            )
+        parent = self._parents[snapshot_id]
         if parent is None:
             return spark.sql(
                 f"SELECT * FROM {self.table} VERSION AS OF {snapshot_id}"

@@ -240,14 +240,18 @@ def streaming_dedup(
     the state store evicts keys older than ``delay`` — state is bounded
     by the horizon, not the stream length).
 
-    ``fingerprint=True`` (default) keys the dedup state on
-    ``xxhash64(subset...)`` instead of the raw columns: for web-text
+    ``fingerprint=True`` (default) keys the dedup state on a 64-bit
+    hash of the key columns instead of the raw values: for web-text
     dedup on document text that is 8 bytes of state per document
     instead of the whole page — the difference between a state store
     that fits in executor memory at 10^9 docs/day and one that doesn't.
-    (xxhash64 collisions ~n^2/2^64: at 10^9 keys in a horizon, ~0.03
-    expected false drops; set ``fingerprint=False`` to key on the raw
-    values when exactness beats state size.)
+    Each column hashes as the pair (is-null flag, value) — Spark's
+    ``xxhash64`` SKIPS null arguments, so hashing raw columns would
+    deterministically collide NULL-shifted rows like ``(NULL, 'foo')``
+    vs ``('foo', NULL)``; the flag restores positional distinctness,
+    leaving only the ~n^2/2^64 random collision rate (at 10^9 keys in
+    a horizon, ~0.03 expected false drops; set ``fingerprint=False``
+    to key on the raw values when exactness beats state size).
 
     Streaming-only (batch DataFrames should use
     :func:`hooqu_spark.ops.exact_dedup`, which picks the smallest-id
@@ -259,9 +263,11 @@ def streaming_dedup(
     out = stream_df
     dedup_cols = cols
     if fingerprint:
-        out = out.withColumn(
-            "_hooqu_fp", F.xxhash64(*[F.col(c) for c in cols])
-        )
+        parts = []
+        for c in cols:
+            parts.append(F.col(c).isNull().cast("int"))
+            parts.append(F.col(c))
+        out = out.withColumn("_hooqu_fp", F.xxhash64(*parts))
         dedup_cols = ["_hooqu_fp"]
     out = out.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         dedup_cols

@@ -99,10 +99,13 @@ def test_restart_resumes_from_commit_log(spark, tmp_path):
     assert metrics[analyzers[1]].value.get() == pytest.approx(expected_mean)
 
 
-def test_null_bucket_rows_are_kept_on_later_deltas(spark, tmp_path):
-    # rows with a NULL bucket id must follow the same "ingest unless
-    # committed" policy on every delta — `~isin` alone yields NULL for
-    # them and where() would silently drop them after the first commit
+def test_null_bucket_is_one_bucket_ingested_exactly_once(spark, tmp_path):
+    # NULL bucket ids form ONE bucket (stringified "None" in the state
+    # log): ingested on the first delta that carries them, skipped on
+    # every later delta — the same idempotent ingest-unless-committed
+    # policy as real buckets.  A bare `~isin` filter would be NULL for
+    # these rows and silently drop them even when never committed; an
+    # unconditional keep would double-count them on a RETRIED delta.
     repo = StateRepository(str(tmp_path))
     analyzers = [Size(), Mean("v")]
     b1 = spark.createDataFrame(
@@ -110,9 +113,13 @@ def test_null_bucket_rows_are_kept_on_later_deltas(spark, tmp_path):
     )
     first = incremental_metrics(repo, "r", analyzers, b1, "day")
     assert first[analyzers[0]].value.get() == 2.0
+    # retried delta: nothing double-counts (incl. the NULL bucket)
+    retry = incremental_metrics(repo, "r", analyzers, b1, "day")
+    assert retry[analyzers[0]].value.get() == 2.0
+    # later delta: new bucket folds in, NULL bucket already committed
     b2 = spark.createDataFrame(
         [("d2", 3.0), (None, 4.0)], "day string, v double"
     )
     second = incremental_metrics(repo, "r", analyzers, b2, "day")
-    assert second[analyzers[0]].value.get() == 4.0
-    assert second[analyzers[1]].value.get() == pytest.approx(2.5)
+    assert second[analyzers[0]].value.get() == 3.0
+    assert second[analyzers[1]].value.get() == pytest.approx(2.0)

@@ -377,7 +377,17 @@ class TestMultimodal:
         return spark.createDataFrame(rows, "id long, html binary")
 
     def test_metadata(self, media):
-        out = {r["id"]: r["media_meta"] for r in attach_binary_metadata(media).collect()}
+        # decoder pinned to the deterministic fake: the default would
+        # auto-select Pillow when importable, whose width for these
+        # non-image payloads is NULL
+        from hooqu_spark.ops.multimodal import FakeImageDecoder
+
+        out = {
+            r["id"]: r["media_meta"]
+            for r in attach_binary_metadata(
+                media, decoder=FakeImageDecoder()
+            ).collect()
+        }
         assert out[0]["format"] == "png"
         assert out[1]["format"] == "jpeg"
         assert out[2]["format"] == "html"

@@ -328,3 +328,37 @@ class TestStreamingDedup:
         assert sorted(r["text"] for r in got.collect()) == [
             "fresh page", "hello world", "other text",
         ]
+
+    def test_null_shifted_keys_do_not_collide(self, spark, tmp_path):
+        # Spark's xxhash64 skips NULL arguments, so hashing raw columns
+        # would conflate (NULL,'foo') with ('foo',NULL); the fingerprint
+        # hashes (is-null flag, value) pairs to keep them distinct
+        import datetime as dt
+
+        from hooqu_spark.streaming import streaming_dedup
+
+        base = dt.datetime(2026, 8, 17, 12, 0, 0)
+        src = str(tmp_path / "src_null")
+        out = str(tmp_path / "out_null")
+        ckpt = str(tmp_path / "ckpt_null")
+        schema = "ts timestamp, a string, b string"
+        rows = [
+            (base, None, "foo"),
+            (base + dt.timedelta(minutes=1), "foo", None),
+            (base + dt.timedelta(minutes=2), None, "foo"),  # true dup
+        ]
+        spark.createDataFrame(rows, schema).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_dedup(stream, ["a", "b"], "ts", delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["a"], r["b"]) for r in spark.read.parquet(out).collect()
+        }
+        assert got == {(None, "foo"), ("foo", None)}
