@@ -203,6 +203,21 @@ def profile_columns(
     ]
     pass2_cols = list(dict.fromkeys(hist_cols + key_candidates))
     if pass2_cols:
+        # Histogram columns need the VALUE strings (they become bins);
+        # key candidates only need per-value counts, so their shuffle
+        # key is the 64-bit xxhash of the value — 8 bytes per row
+        # instead of an arbitrarily fat string (think a near-unique
+        # text/url column at 10^12 rows).  A hash collision can only
+        # MERGE two distinct values (depressing measured uniqueness),
+        # so the `is_unique` suggestion can never be falsely confirmed
+        # by it — the safe direction, at ~n^2/2^64 probability.
+        def _pval(c: str) -> F.Column:
+            if c in hist_cols:
+                return F.col(c).cast("string")
+            return F.when(
+                F.col(c).isNotNull(), F.xxhash64(F.col(c)).cast("string")
+            )
+
         pairs = (
             df.select(
                 F.explode(
@@ -210,7 +225,7 @@ def profile_columns(
                         *[
                             F.struct(
                                 F.lit(c).alias("_pcol"),
-                                F.col(c).cast("string").alias("_pval"),
+                                _pval(c).alias("_pval"),
                             )
                             for c in pass2_cols
                         ]
