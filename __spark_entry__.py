@@ -547,6 +547,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = _t(spark, sf_dir, "documents")
         return document_fingerprints(df).select("doc_id", "fp_exact", "fp_prefix")
 
+    def fingerprints_md5_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Engine-portable fingerprint mode: 64 bits from the first 16
+        # md5 hex chars -> DuckDB replays both fingerprints exactly.
+        from hooqu_spark.ops import document_fingerprints
+
+        df = _t(spark, sf_dir, "documents")
+        return document_fingerprints(df, hash="md5").select(
+            "doc_id", "fp_exact", "fp_prefix"
+        )
+
     def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Exact-candidate mode (AllPairs prefix-filter index, recall
         # 1.0) -> survivor set is fully SQL-expressible and oracled.
@@ -694,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_embeddings": cosine_pairs_query,
         "media_metadata_documents": media_metadata_query,
         "fingerprints_documents": fingerprints_query,
+        "fingerprints_md5_documents": fingerprints_md5_query,
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
         "jaccard_pairs_documents": jaccard_pairs_query,
         "canonical_urls_events": canonical_url_query,
@@ -1174,8 +1185,29 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id FROM documents"
             " WHERE doc_id NOT IN (SELECT ib FROM lo)"
         ),
+        "fingerprints_md5_documents": (
+            "WITH t AS (SELECT doc_id, text, array_to_string("
+            "list_filter(string_split(text, ' '), x -> x <> '')[1:8],"
+            " ' ') AS pfx FROM documents),"
+            " h AS (SELECT doc_id,"
+            " ('0x' || substr(md5(text),9,8))::UBIGINT::HUGEINT"
+            " * 4294967296"
+            " + ('0x' || substr(md5(text),1,8))::UBIGINT::HUGEINT AS ue,"
+            " ('0x' || substr(md5(pfx),9,8))::UBIGINT::HUGEINT"
+            " * 4294967296"
+            " + ('0x' || substr(md5(pfx),1,8))::UBIGINT::HUGEINT AS up"
+            " FROM t)"
+            " SELECT doc_id,"
+            " CAST(CASE WHEN ue >= 9223372036854775808::HUGEINT"
+            " THEN ue - 18446744073709551616::HUGEINT ELSE ue END"
+            " AS BIGINT) AS fp_exact,"
+            " CAST(CASE WHEN up >= 9223372036854775808::HUGEINT"
+            " THEN up - 18446744073709551616::HUGEINT ELSE up END"
+            " AS BIGINT) AS fp_prefix FROM h"
+        ),
         # Rows-only (genuinely un-oracle-able in DuckDB):
-        # fingerprints_documents (xxhash64 absent from DuckDB 1.0),
+        # fingerprints_documents (xxhash64 absent from DuckDB 1.0; the
+        # md5 mode above hash-verifies the same construction),
         # near_dup_pairs_embeddings (seeded LSH hyperplanes; its exact
         # cosine math is hash-verified by cosine_pairs_embeddings).
     }

@@ -449,6 +449,37 @@ class TestMultimodal:
         assert 3 not in by_id  # null payload -> no frames
 
 
+class TestFingerprints:
+    def test_md5_mode_matches_hashlib_model(self, spark):
+        # the engine-portable mode must equal the naive model: 64 bits
+        # = md5 hex chars 9-16 (high) | chars 1-8 (low), signed
+        import hashlib
+
+        from hooqu_spark.ops import document_fingerprints
+
+        def model(s):
+            hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+            v = (int(hx[8:16], 16) << 32) | int(hx[:8], 16)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        rows = [(0, "hello world"), (1, "a b c d e f g h i j"), (2, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["fp_exact"], r["fp_prefix"])
+            for r in document_fingerprints(df, hash="md5").collect()
+        }
+        for i, text in rows:
+            toks = [t for t in text.split(" ") if t][:8]
+            assert got[i] == (model(text), model(" ".join(toks))), i
+
+    def test_unknown_hash_rejected(self, spark):
+        from hooqu_spark.ops import document_fingerprints
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            document_fingerprints(df, hash="sha1")
+
+
 class TestStarConnectedComponents:
     @staticmethod
     def _union_find_components(edges, nodes):
