@@ -56,7 +56,15 @@ def compute_partition_states(
     analyzers: Sequence[ScanShareableAnalyzer],
     partition_col: str,
 ) -> List[StateRecord]:
-    """One groupBy job -> per-bucket states for all analyzers."""
+    """One groupBy job -> per-bucket states for all analyzers.
+
+    Bucket ids are stored as SPARK-cast strings (grouping on
+    ``cast(partition_col as string)``), so the commit-log markers use
+    the same stringification the resume/idempotence filters apply
+    executor-side — a Python ``str()`` would disagree for e.g. boolean
+    buckets ('True' vs 'true') and silently break retry skipping."""
+    from pyspark.sql import functions as F
+
     df = apply_projections(df, analyzers)
     slices: List[Tuple[ScanShareableAnalyzer, int, int]] = []
     exprs = []
@@ -65,7 +73,7 @@ def compute_partition_states(
         slices.append((a, len(exprs), len(exprs) + len(ae)))
         exprs.extend(ae)
     rows = (
-        df.groupBy(partition_col)
+        df.groupBy(F.col(partition_col).cast("string").alias(partition_col))
         .agg(*(e.alias(f"_s{i}") for i, e in enumerate(exprs)))
         .collect()
     )
@@ -218,6 +226,14 @@ def incremental_metrics(
     ingestion should therefore derive ``partition_col`` from the ingest
     batch (e.g. ingest date), not a stable hash — a reused bucket id is
     treated as already processed.
+
+    .. warning:: rows with a NULL bucket id all belong to ONE bucket
+       (marker "None"): the first delta carrying them ingests them,
+       every later delta SKIPS them — the guard cannot distinguish a
+       retry from genuinely new NULL-bucket data.  If dirty rows with
+       NULL bucket ids can recur across deltas, derive a non-null
+       bucket id for them (e.g. ``coalesce(day, ingest_batch_id)``)
+       before calling this.
     """
     committed = repository.committed_buckets(run_id)
     if committed:

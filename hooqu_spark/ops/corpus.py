@@ -155,7 +155,10 @@ def flag_contamination(
     # is fine; corpus side: the 10^12-doc scan — shingle_frame's
     # two-step projection tokenizes each doc ONCE and explode_outer
     # skips the optimizer's inferred size()>0 filter (which would
-    # re-evaluate the whole shingle expression a second time)
+    # re-evaluate the whole shingle expression a second time).
+    # spread=False keeps the documented plan contract: the corpus-side
+    # scan NEVER shuffles (one scan + one broadcast), even for a
+    # single-file local input.
     bench_shingles = F.broadcast(
         benchmark.select(
             F.explode(
@@ -163,9 +166,9 @@ def flag_contamination(
             ).alias("_sh")
         ).distinct()
     )
-    doc_shingles = shingle_frame(df, id_col, text_col, shingle_size).select(
-        F.col("id").alias("_id"), F.explode_outer("sh").alias("_sh")
-    )
+    doc_shingles = shingle_frame(
+        df, id_col, text_col, shingle_size, spread=False
+    ).select(F.col("id").alias("_id"), F.explode_outer("sh").alias("_sh"))
     overlaps = (
         doc_shingles.join(bench_shingles, on="_sh")
         .groupBy("_id")

@@ -90,7 +90,11 @@ def _str_hash32(col) -> F.Column:
 
 
 def shingle_frame(
-    df: DataFrame, id_col: str, text_col: str, shingle_size: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    spread: bool = True,
 ) -> DataFrame:
     """``(id, sh array<string>)`` — each doc's distinct word
     ``shingle_size``-gram strings as a pure Catalyst projection.
@@ -102,14 +106,20 @@ def shingle_frame(
     re-split the text once per reference; the separate projection
     evaluates the split exactly once per row (CollapseProject keeps
     projections apart rather than duplicate an expensive alias —
-    SPARK-36718)."""
+    SPARK-36718).
+
+    ``spread=False`` skips the small-input repartition guard — pass it
+    when the caller guarantees a shuffle-free scan shape (e.g. the
+    decontamination join, whose plan contract is one scan + one
+    broadcast)."""
     words = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda x: x != F.lit(""),
     )
-    tokenized = _spread_small_input(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), words.alias("_w")
-    )
+    src = df.select(id_col, text_col)
+    if spread:
+        src = _spread_small_input(src)
+    tokenized = src.select(F.col(id_col).alias("id"), words.alias("_w"))
     return tokenized.select(
         "id", _shingles_of_words(F.col("_w"), shingle_size).alias("sh")
     )

@@ -53,9 +53,15 @@ def document_fingerprints(
             return F.shiftleft(hi, 32).bitwiseOR(lo)
     else:
         raise ValueError(f"unknown fingerprint hash: {hash!r}")
-    return df.withColumn("fp_exact", h(F.col(text_col))).withColumn(
-        "fp_prefix", h(prefix)
-    )
+    # NULL text -> NULL fingerprints in BOTH modes (xxhash64 of a null
+    # argument would otherwise return its seed, and concat_ws would
+    # turn the null token array into '' — either way a phantom
+    # fingerprint for absent content, and an engine divergence for the
+    # md5 oracle)
+    present = F.col(text_col).isNotNull()
+    return df.withColumn(
+        "fp_exact", F.when(present, h(F.col(text_col)))
+    ).withColumn("fp_prefix", F.when(present, h(prefix)))
 
 
 def language_distribution(df: DataFrame, lang_col: str = "lang") -> DataFrame:

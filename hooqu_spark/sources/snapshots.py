@@ -38,18 +38,14 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """Read the pages table from either an Iceberg table identifier or
     a parquet path.
 
-    Dispatch rule: anything path-looking reads as parquet — a ``/`` or
-    URI scheme, a ``.parquet`` suffix, or a path that exists on the
-    local filesystem (so relative paths like ``pages.parquet`` keep
-    working).  Everything else is treated as a catalog table name
-    (``spark.table`` resolves Iceberg tables when the catalog is
-    configured — see DEPLOY.md)."""
-    if (
-        "/" in source
-        or "://" in source
-        or source.endswith(".parquet")
-        or os.path.exists(source)
-    ):
+    Dispatch rule (deterministic — never inspects the local
+    filesystem, so a same-named file in the driver's cwd cannot
+    shadow a catalog table): anything with a ``/``, a URI scheme, or a
+    ``.parquet`` suffix reads as parquet; everything else is treated
+    as a catalog table name (``spark.table`` resolves Iceberg tables
+    when the catalog is configured — see DEPLOY.md).  For a bare
+    relative directory, pass ``./dirname``."""
+    if "/" in source or "://" in source or source.endswith(".parquet"):
         return spark.read.parquet(source)
     return spark.table(source)
 

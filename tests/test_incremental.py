@@ -123,3 +123,18 @@ def test_null_bucket_is_one_bucket_ingested_exactly_once(spark, tmp_path):
     second = incremental_metrics(repo, "r", analyzers, b2, "day")
     assert second[analyzers[0]].value.get() == 3.0
     assert second[analyzers[1]].value.get() == pytest.approx(2.0)
+
+
+def test_boolean_bucket_retry_is_idempotent(spark, tmp_path):
+    # bucket markers are SPARK-cast strings ('true'/'false'), matching
+    # the executor-side skip filter — a Python str() marker ('True')
+    # would never match and retried deltas would double-count
+    repo = StateRepository(str(tmp_path))
+    analyzers = [Size()]
+    b1 = spark.createDataFrame(
+        [(True, 1.0), (False, 2.0)], "flag boolean, v double"
+    )
+    first = incremental_metrics(repo, "r", analyzers, b1, "flag")
+    again = incremental_metrics(repo, "r", analyzers, b1, "flag")
+    assert first[analyzers[0]].value.get() == 2.0
+    assert again[analyzers[0]].value.get() == 2.0

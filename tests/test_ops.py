@@ -463,7 +463,9 @@ class TestFingerprints:
             return v - (1 << 64) if v >= (1 << 63) else v
 
         rows = [(0, "hello world"), (1, "a b c d e f g h i j"), (2, "")]
-        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df = spark.createDataFrame(
+            rows + [(3, None)], "doc_id long, text string"
+        )
         got = {
             r["doc_id"]: (r["fp_exact"], r["fp_prefix"])
             for r in document_fingerprints(df, hash="md5").collect()
@@ -471,6 +473,12 @@ class TestFingerprints:
         for i, text in rows:
             toks = [t for t in text.split(" ") if t][:8]
             assert got[i] == (model(text), model(" ".join(toks))), i
+        assert got[3] == (None, None)  # NULL text -> NULL fingerprints
+        xx = {
+            r["doc_id"]: (r["fp_exact"], r["fp_prefix"])
+            for r in document_fingerprints(df).collect()
+        }
+        assert xx[3] == (None, None)  # consistent across hash modes
 
     def test_unknown_hash_rejected(self, spark):
         from hooqu_spark.ops import document_fingerprints
