@@ -21,6 +21,8 @@ from .dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,
+    minhash_dedup_clusters,
+    minhash_similar_pairs,
     jaccard_similar_pairs,
     minhash_signatures,
     ngram_jaccard_dedup,
@@ -82,6 +84,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_dedup",
     "minhash_signatures",
+    "minhash_dedup_clusters",
+    "minhash_similar_pairs",
     "ngram_jaccard_dedup",
     "quality_features",
     "salted_agg",

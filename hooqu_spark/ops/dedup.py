@@ -279,6 +279,59 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def minhash_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """``(id_a, id_b, est_jaccard)`` for every LSH candidate pair with
+    estimated Jaccard >= threshold — the pair table behind
+    :func:`minhash_dedup`, exposed for cluster-based policies."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_size
+    ).persist()
+    try:
+        pairs = lsh_candidate_pairs(sigs, n_bands, dedupe=False)
+        out = (
+            _signature_agreement(pairs, sigs)
+            .where(F.col("est_jaccard") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+            .localCheckpoint()  # materialize before releasing sigs
+        )
+    finally:
+        sigs.unpersist()
+    return out
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_size: int = 3,
+    algorithm: str = "star",
+) -> DataFrame:
+    """MinHash dedup with the TRANSITIVE survivor policy: connected
+    components over the similar-pair graph, one smallest-id survivor
+    per component.
+
+    :func:`minhash_dedup` is greedy-by-id (drop a row if ANY
+    smaller-id candidate matches) — chains A~B~C keep A and C when A,C
+    aren't directly similar.  This variant collapses whole chains
+    (quote-of-a-quote pages) via the O(log n) star scheme, at the cost
+    of the clustering rounds."""
+    pairs = minhash_similar_pairs(
+        df, id_col, text_col, threshold, n_hashes, n_bands, shingle_size
+    )
+    return dedup_by_clusters(df, pairs, id_col, algorithm=algorithm)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

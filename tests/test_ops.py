@@ -595,3 +595,41 @@ class TestIvfIndex:
         assert "PartitionFilters" in plan
         scan_line = plan[plan.index("PartitionFilters"):][:200]
         assert "ivf_list" in scan_line
+
+
+class TestMinHashClusters:
+    def test_chain_collapses_to_single_survivor(self, spark):
+        # A~B and B~C similar but A!~C directly: the greedy policy
+        # keeps A and C; the transitive policy keeps only A
+        from hooqu_spark.ops import minhash_dedup, minhash_dedup_clusters
+
+        base = ("w%d " * 30) % tuple(range(30))
+        words = base.split()
+        b = list(words); b[0] = "x0"; b[1] = "x1"; b[2] = "x2"
+        c = list(b); b2 = list(b)
+        c[27] = "y0"; c[28] = "y1"; c[29] = "y2"
+        rows = [
+            (0, " ".join(words)),   # A
+            (1, " ".join(b2)),      # B ~ A (3/30 changed at the front)
+            (2, " ".join(c)),       # C ~ B (3 more changed at the back)
+            (9, "totally different content about spark exchanges"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        transitive = {
+            r["id"]
+            for r in minhash_dedup_clusters(df, "id", threshold=0.6).collect()
+        }
+        assert transitive == {0, 9}
+        greedy = {
+            r["id"] for r in minhash_dedup(df, "id", threshold=0.6).collect()
+        }
+        assert greedy.issubset({0, 2, 9}) and 1 not in greedy
+
+    def test_pairs_are_deduplicated_and_thresholded(self, docs):
+        from hooqu_spark.ops import minhash_similar_pairs
+
+        pairs = minhash_similar_pairs(docs, "id", threshold=0.8).collect()
+        keys = [(r["id_a"], r["id_b"]) for r in pairs]
+        assert len(keys) == len(set(keys))  # no duplicate pairs
+        assert all(r["est_jaccard"] >= 0.8 for r in pairs)
+        assert (0, 1) in keys  # the exact duplicate pair
