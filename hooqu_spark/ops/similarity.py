@@ -415,7 +415,11 @@ def cosine_similar_pairs(
             )
         )
 
-    cosine = dot / (norm("_va") * norm("_vb"))
+    # try_divide: a zero-norm (degenerate) embedding yields NULL cosine
+    # instead of throwing DIVIDE_BY_ZERO under ANSI mode; NULL fails the
+    # >= threshold predicate so degenerate vectors are silently excluded
+    # (the oracle mirrors this with a NULLIF denominator).
+    cosine = F.try_divide(dot, norm("_va") * norm("_vb"))
     if round_to is not None:
         cosine = F.round(cosine, round_to)
     return (
@@ -455,7 +459,9 @@ def embedding_near_duplicates(
             lambda acc, v: acc + v,
         )
     )
-    cosine = dot / (norm("l") * norm("r"))
+    # Same zero-norm guard as cosine_similar_pairs (shared arithmetic
+    # contract): degenerate vectors yield NULL, never DIVIDE_BY_ZERO.
+    cosine = F.try_divide(dot, norm("l") * norm("r"))
     return (
         l.join(
             r,

@@ -84,9 +84,25 @@ class IcebergSnapshotSource:
 
     def snapshot_ids(self, spark: SparkSession) -> List[str]:
         rows = spark.sql(
-            f"SELECT snapshot_id, parent_id FROM {self.table}.snapshots"
-            " ORDER BY committed_at"
+            f"SELECT snapshot_id, parent_id, operation"
+            f" FROM {self.table}.snapshots ORDER BY committed_at"
         ).collect()
+        # APPEND-ONLY CONTRACT: incremental reads only support append
+        # snapshots, and metric states are add-only monoids — a delete/
+        # overwrite/replace snapshot can neither be read as a delta nor
+        # subtracted from committed states.  Fail loudly instead of
+        # silently mis-counting.
+        bad = [
+            (str(r["snapshot_id"]), r["operation"])
+            for r in rows
+            if r["operation"] != "append"
+        ]
+        if bad:
+            raise ValueError(
+                f"IcebergSnapshotSource({self.table!r}) requires an "
+                f"append-only history (incremental reads + add-only metric "
+                f"states); found non-append snapshots: {bad[:5]}"
+            )
         self._parents = {
             str(r["snapshot_id"]): (
                 None if r["parent_id"] is None else str(r["parent_id"])

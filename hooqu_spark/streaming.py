@@ -262,6 +262,12 @@ def streaming_dedup(
     cols = list(subset)
     out = stream_df
     dedup_cols = cols
+    if fingerprint and "_hooqu_fp" in stream_df.columns:
+        raise ValueError(
+            "streaming_dedup(fingerprint=True) uses an internal "
+            "'_hooqu_fp' column but the input stream already has one; "
+            "rename it or pass fingerprint=False"
+        )
     if fingerprint:
         parts = []
         for c in cols:

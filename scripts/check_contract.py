@@ -1,7 +1,15 @@
 """Driver-style contract checker: runs selected `queries()` entries on
 Spark and their `oracle_sql()` in DuckDB at sf0.01, then compares row
-count, schema (columns sorted by name) and values (rows sorted, floats
-rounded) — a local stand-in for CORRECTNESS_r{N}.json.
+count, schema (columns sorted by name) and values (rows sorted, EXACT
+equality — matching the driver's value hash) — a local stand-in for
+CORRECTNESS_r{N}.json.
+
+NOTE on floats: this comparison (like the driver's) is exact, NOT
+rounded.  Cross-engine float reproducibility is the QUERIES'
+responsibility: every float-producing query pre-rounds to 6 decimals on
+BOTH the Spark and the oracle side (repo invariant, CLAUDE.md).  An
+unrounded float query would flake here on last-ulp engine differences —
+that's a contract bug in the query, not in this checker.
 
 Usage: python scripts/check_contract.py [query ...]   (default: all)
 """

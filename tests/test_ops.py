@@ -245,6 +245,23 @@ class TestSimilarity:
             assert got[k] == pytest.approx(v, abs=1e-9)
         assert (3, 7) in got  # the engineered near-duplicate pair
 
+    def test_cosine_zero_norm_vector_is_excluded_not_fatal(self, spark):
+        # Under Spark 4 ANSI mode a plain division would throw
+        # DIVIDE_BY_ZERO on a zero-norm embedding; try_divide yields
+        # NULL, which fails >= threshold, so the degenerate vector is
+        # excluded even at a negative threshold.
+        from hooqu_spark.ops import cosine_similar_pairs
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_similar_pairs(df, threshold=-1.0).collect()
+        }
+        assert got == {(0, 2)}  # pairs touching vec 1 drop out as NULL
+
     def test_lsh_topk_finds_near_duplicate(self, vecs):
         pdf = vecs.toPandas()
         q = np.asarray(pdf["embedding"].tolist())[3]

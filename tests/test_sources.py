@@ -103,3 +103,41 @@ class TestProtocolDispatch:
 
     def test_iceberg_availability_probe_does_not_raise(self, spark):
         assert iceberg_available(spark) in (True, False)
+
+    def test_iceberg_append_only_contract(self):
+        # No Iceberg runtime in the sandbox: drive snapshot_ids through a
+        # fake session whose .sql returns canned metadata rows.  The
+        # append-only guard must reject delete/overwrite/replace
+        # histories (incremental reads + add-only monoid states cannot
+        # represent removals) and accept pure-append ones.
+        from hooqu_spark.sources.snapshots import IcebergSnapshotSource
+
+        def fake_spark(rows):
+            class _DF:
+                def collect(self):
+                    return rows
+
+            class _S:
+                def sql(self, q):
+                    assert "operation" in q  # guard reads the op column
+                    return _DF()
+
+            return _S()
+
+        ok = fake_spark(
+            [
+                {"snapshot_id": 1, "parent_id": None, "operation": "append"},
+                {"snapshot_id": 2, "parent_id": 1, "operation": "append"},
+            ]
+        )
+        src = IcebergSnapshotSource("db.t")
+        assert src.snapshot_ids(ok) == ["1", "2"]
+
+        bad = fake_spark(
+            [
+                {"snapshot_id": 1, "parent_id": None, "operation": "append"},
+                {"snapshot_id": 2, "parent_id": 1, "operation": "overwrite"},
+            ]
+        )
+        with pytest.raises(ValueError, match="append-only"):
+            IcebergSnapshotSource("db.t").snapshot_ids(bad)

@@ -362,3 +362,17 @@ class TestStreamingDedup:
             (r["a"], r["b"]) for r in spark.read.parquet(out).collect()
         }
         assert got == {(None, "foo"), ("foo", None)}
+
+    def test_fingerprint_column_collision_raises(self, spark):
+        # An input stream that already carries _hooqu_fp would be
+        # silently overwritten and dropped; must raise instead.
+        from hooqu_spark.streaming import streaming_dedup
+
+        df = spark.createDataFrame(
+            [], "ts timestamp, a string, _hooqu_fp bigint"
+        )
+        with pytest.raises(ValueError, match="_hooqu_fp"):
+            streaming_dedup(df, ["a"], "ts")
+        # fingerprint=False does not touch the column -> no raise
+        out = streaming_dedup(df, ["a"], "ts", fingerprint=False)
+        assert "_hooqu_fp" in out.columns
