@@ -567,21 +567,29 @@ class DataTypeHistogram(ScanShareableAnalyzer):
           with only ASCII digits (``translate`` emptiness);
         * fractional requires a mandatory ``.`` in both regex branches,
           so the (kept, for exactness) regex is gated on a cheap
-          ``contains('.')``."""
-        col = F.col(self.instance)
-        body = F.when(
-            col.substr(1, 1).isin("+", "-"),
-            col.substr(F.lit(2), F.length(col)),
-        ).otherwise(col)
-        integral = (body != "") & (
-            F.translate(body, "0123456789", "") == ""
+          ``contains('.')``.
+
+        Built as ONE ``F.expr`` SQL string: the equivalent
+        Column-builder chain costs ~0.13s of driver-side py4j round
+        trips PER COLUMN per call (measured via cProfile on
+        profile_columns), which dominated the profiler's wall time on
+        small inputs; a single SQL parse is one round trip for the
+        whole tree."""
+        c = f"`{self.instance}`"
+        body = (
+            f"CASE WHEN substr({c},1,1) IN ('+','-')"
+            f" THEN substr({c},2,length({c})) ELSE {c} END"
         )
-        return (
-            F.when(col.isNull(), F.lit(4))
-            .when(col.isin("true", "false"), F.lit(0))
-            .when(integral, F.lit(1))
-            .when(col.contains(".") & col.rlike(_FRACTIONAL_RE), F.lit(2))
-            .otherwise(F.lit(3))
+        # Spark SQL string literals treat backslash as an escape, so
+        # the regex's backslashes must be doubled in the literal.
+        frac_re = _FRACTIONAL_RE.replace("\\", "\\\\")
+        return F.expr(
+            f"CASE WHEN {c} IS NULL THEN 4"
+            f" WHEN {c} IN ('true','false') THEN 0"
+            f" WHEN ({body}) != ''"
+            f" AND translate({body},'0123456789','') = '' THEN 1"
+            f" WHEN contains({c},'.') AND {c} RLIKE '{frac_re}' THEN 2"
+            f" ELSE 3 END"
         )
 
     @property

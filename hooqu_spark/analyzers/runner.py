@@ -128,7 +128,7 @@ def do_analysis_run(
     exprs = []
     for a in scan:
         try:
-            ae = a.aggregation_exprs(agg_input)
+            ae = a.cached_aggregation_exprs(agg_input)
         except Exception as e:  # unresolvable expression -> Failure
             metrics[a] = a.to_failure_metric(e)
             continue
@@ -145,11 +145,10 @@ def do_analysis_run(
         exprs.extend(qe)
 
     if exprs:
-        row = list(
-            agg_input.agg(
-                *(e.alias(f"_h{i}") for i, e in enumerate(exprs))
-            ).first()
-        )
+        # no aliases: the row is consumed positionally, and each
+        # .alias() is a py4j round trip (54 exprs ~= 0.1s of driver
+        # time per fused run)
+        row = list(agg_input.agg(*exprs).first())
         for a, start, end in fused:
             try:
                 state = a.state_from_agg(row[start:end])

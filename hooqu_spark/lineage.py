@@ -69,7 +69,7 @@ def compute_partition_states(
     slices: List[Tuple[ScanShareableAnalyzer, int, int]] = []
     exprs = []
     for a in analyzers:
-        ae = a.aggregation_exprs(df)
+        ae = a.cached_aggregation_exprs(df)
         slices.append((a, len(exprs), len(exprs) + len(ae)))
         exprs.extend(ae)
     rows = (

@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from .analyzers import (
-    ApproxCountDistinct,
     Completeness,
     DataTypeHistogram,
     Maximum,
@@ -40,8 +39,41 @@ from .analyzers import (
     Size,
     StandardDeviation,
 )
-from .analyzers.base import Analyzer, apply_projections
+from .analyzers.base import Analyzer, ScanShareableAnalyzer, apply_projections
 from .checks import Check, CheckLevel
+from .metrics import Entity
+from .states import NumMatches
+
+
+class _ProfileDistinct(ScanShareableAnalyzer):
+    """Distinct-count estimate for profiling, via the DataSketches HLL
+    aggregate (``hll_sketch_agg``, lgConfigK=12, ~1.6% relative error).
+
+    Deliberately NOT the public ``ApproxCountDistinct`` (HLL++): on the
+    profiler's fused scan the HLL++ update at rsd=0.05 measured ~0.4s
+    over sf0.1 orders vs ~0.3s for the DataSketches sketch — and the
+    tighter error keeps unique-key nomination (threshold 0.9·rows) many
+    sigma away from a miss, while fewer false nominations keep pass 2's
+    hashed-value shuffle small at scale.  Types outside the sketch's
+    native set (integral/string/binary) are cast to string, which is
+    value-distinct-preserving for profiling purposes."""
+
+    def __init__(self, column: str):
+        super().__init__("ProfileDistinct", column, Entity.COLUMN)
+
+    def aggregation_exprs(self, df: DataFrame) -> List:
+        from pyspark.sql import functions as F
+
+        c = F.col(self.instance)
+        dtype = df.schema[self.instance].dataType
+        if not isinstance(
+            dtype, (T.IntegralType, T.StringType, T.BinaryType)
+        ):
+            c = c.cast("string")
+        return [F.hll_sketch_estimate(F.hll_sketch_agg(c, F.lit(12)))]
+
+    def state_from_agg(self, values: Sequence) -> Optional[NumMatches]:
+        return NumMatches(int(values[0] or 0))
 
 
 @dataclass
@@ -87,7 +119,7 @@ def profile_columns(
         dtype = schema[c].dataType
         a: Dict[str, Analyzer] = {
             "completeness": Completeness(c),
-            "distinct": ApproxCountDistinct(c),
+            "distinct": _ProfileDistinct(c),
         }
         if isinstance(dtype, (T.NumericType, T.BooleanType)):
             a.update(
@@ -114,14 +146,11 @@ def profile_columns(
     slices: List[tuple] = []
     exprs: List = []
     for a in analyzers:
-        ae = a.aggregation_exprs(agg_input)
+        ae = a.cached_aggregation_exprs(agg_input)
         slices.append((a, len(exprs), len(exprs) + len(ae)))
         exprs.extend(ae)
-    row = list(
-        agg_input.agg(
-            *(e.alias(f"_p{i}") for i, e in enumerate(exprs))
-        ).first()
-    )
+    # positional consumption -> no .alias() py4j round trips
+    row = list(agg_input.agg(*exprs).first())
     states: Dict[Analyzer, object] = {}
     for a, start, end in slices:
         try:
@@ -211,30 +240,23 @@ def profile_columns(
         # MERGE two distinct values (depressing measured uniqueness),
         # so the `is_unique` suggestion can never be falsely confirmed
         # by it — the safe direction, at ~n^2/2^64 probability.
-        def _pval(c: str) -> F.Column:
+        def _pval_sql(c: str) -> str:
             if c in hist_cols:
-                return F.col(c).cast("string")
-            return F.when(
-                F.col(c).isNotNull(), F.xxhash64(F.col(c)).cast("string")
+                return f"cast(`{c}` as string)"
+            return (
+                f"case when `{c}` is not null"
+                f" then cast(xxhash64(`{c}`) as string) end"
             )
 
-        pairs = (
-            df.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(c).alias("_pcol"),
-                                _pval(c).alias("_pval"),
-                            )
-                            for c in pass2_cols
-                        ]
-                    )
-                ).alias("p")
-            )
-            .select("p._pcol", "p._pval")
-            .where(F.col("_pval").isNotNull())
+        # one `stack` generator built as a single SQL parse (the
+        # equivalent explode(array(struct..)) Column chain costs ~40
+        # py4j round trips of driver time per profiling call)
+        stack_args = ", ".join(
+            f"'{c}', {_pval_sql(c)}" for c in pass2_cols
         )
+        pairs = df.selectExpr(
+            f"stack({len(pass2_cols)}, {stack_args}) AS (_pcol, _pval)"
+        ).where("_pval is not null")
         freq = pairs.groupBy("_pcol", "_pval").agg(
             F.count(F.lit(1)).alias("_pcnt")
         )

@@ -64,7 +64,7 @@ class StreamingVerification:
         slices = []
         exprs = []
         for a in self.analyzers:
-            ae = a.aggregation_exprs(batch_df)
+            ae = a.cached_aggregation_exprs(batch_df)
             slices.append((a, len(exprs), len(exprs) + len(ae)))
             exprs.extend(ae)
         row = list(
@@ -171,7 +171,7 @@ class WindowedMetrics:
         slices = []
         exprs = []
         for a in self.analyzers:
-            ae = a.aggregation_exprs(stream_df)
+            ae = a.cached_aggregation_exprs(stream_df)
             slices.append((a, len(exprs), len(exprs) + len(ae)))
             exprs.extend(ae)
         self._slices = slices
