@@ -84,13 +84,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Sum,
     )
 
-    def metric_query(table: str, analyzer_factory, alias: str, round_to=None):
+    def fused_analyzers_query(table: str, spec):
+        """ONE fused single-scan `do_analysis_run` job covering every
+        scalar analyzer on `table` — the engine's actual execution
+        shape (the per-analyzer standalone queries it replaces each
+        paid a separate scan, and together they crowded the driver's
+        50-query grading cap).  `spec` = [(alias, analyzer, round_to)];
+        output is one row with one aliased double per analyzer."""
+
         def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from hooqu_spark.analyzers import do_analysis_run
+
             df = _t(spark, sf_dir, table)
-            value = analyzer_factory().calculate(df).value.get()
-            if round_to is not None:
-                value = round(value, round_to)
-            return spark.createDataFrame([(float(value),)], f"{alias} double")
+            ctx = do_analysis_run(df, [a for _, a, _ in spec])
+            row = {}
+            for alias, analyzer, round_to in spec:
+                value = float(ctx.metric_map[analyzer].value.get())
+                row[alias] = (
+                    value if round_to is None else round(value, round_to)
+                )
+            schema = " double, ".join(a for a, _, _ in spec) + " double"
+            return spark.createDataFrame([tuple(row.values())], schema)
 
         return q
 
@@ -133,24 +147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return state.frequencies.select(
             "event_type", F.col("hooqu_count").alias("n")
         )
-
-    def where_filtered_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from hooqu_spark.analyzers import Minimum
-
-        df = _t(spark, sf_dir, "lineitem")
-        value = (
-            Minimum("l_quantity", where="l_returnflag == 'A'")
-            .calculate(df)
-            .value.get()
-        )
-        return spark.createDataFrame([(float(value),)], "min_qty double")
-
-    def pattern_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from hooqu_spark.analyzers import PatternMatch
-
-        df = _t(spark, sf_dir, "documents")
-        value = PatternMatch("text", r"\bspark\b").calculate(df).value.get()
-        return spark.createDataFrame([(float(value),)], "match_frac double")
 
     def compliance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hooqu_spark.analyzers import Compliance
@@ -631,40 +627,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # -- hooqu analyzer surface (SURVEY.md §2a) --
-        "size_lineitem": metric_query("lineitem", lambda: Size(), "size_value"),
-        "completeness_documents_text": metric_query(
-            "documents", lambda: Completeness("text"), "completeness"
-        ),
-        "minimum_l_quantity": metric_query(
-            "lineitem", lambda: Minimum("l_quantity"), "min_qty"
-        ),
-        "maximum_l_quantity": metric_query(
-            "lineitem", lambda: Maximum("l_quantity"), "max_qty"
-        ),
-        "sum_l_quantity": metric_query(
-            "lineitem", lambda: Sum("l_quantity"), "sum_qty"
-        ),
-        "mean_l_extendedprice": metric_query(
-            "lineitem", lambda: Mean("l_extendedprice"), "mean_price", round_to=4
-        ),
-        "stddev_pop_l_discount": metric_query(
+        # The 12 former per-analyzer standalone queries (r1-r3 names:
+        # size_lineitem, minimum/maximum/sum_l_quantity,
+        # mean_l_extendedprice, stddev_pop_l_discount,
+        # quantile_nearest_l_quantity, minimum_l_quantity_filtered,
+        # completeness_documents_text, min/max_length_documents_text,
+        # pattern_match_spark_documents — all hash-green in
+        # CORRECTNESS_r03) now grade through TWO fused single-scan
+        # runs, one aliased column per analyzer.  This is the shape
+        # the engine actually executes (VerificationSuite fuses all
+        # scalar analyzers into one df.agg), and it keeps the full
+        # contract inside the driver's 50-query grading cap.
+        "analyzers_fused_lineitem": fused_analyzers_query(
             "lineitem",
-            lambda: StandardDeviation("l_discount"),
-            "stddev_discount",
-            round_to=6,
+            [
+                ("size_value", Size(), None),
+                ("min_qty", Minimum("l_quantity"), None),
+                ("max_qty", Maximum("l_quantity"), None),
+                ("sum_qty", Sum("l_quantity"), None),
+                ("mean_price", Mean("l_extendedprice"), 4),
+                ("stddev_discount", StandardDeviation("l_discount"), 6),
+                ("median_qty", Quantile("l_quantity", 0.5), None),
+                (
+                    "min_qty_filtered",
+                    Minimum("l_quantity", where="l_returnflag == 'A'"),
+                    None,
+                ),
+            ],
         ),
-        "quantile_nearest_l_quantity": metric_query(
-            "lineitem", lambda: Quantile("l_quantity", 0.5), "median_qty"
+        "analyzers_fused_documents": fused_analyzers_query(
+            "documents",
+            [
+                ("completeness", Completeness("text"), None),
+                ("min_len", MinLength("text"), None),
+                ("max_len", MaxLength("text"), None),
+                ("match_frac", PatternMatch("text", r"\bspark\b"), None),
+            ],
         ),
-        "min_length_documents_text": metric_query(
-            "documents", lambda: MinLength("text"), "min_len"
-        ),
-        "max_length_documents_text": metric_query(
-            "documents", lambda: MaxLength("text"), "max_len"
-        ),
-        "minimum_l_quantity_filtered": where_filtered_min,
         "compliance_purchase_value": compliance_query,
-        "pattern_match_spark_documents": pattern_match_query,
         # -- grouping analyzers (§2a frequency family) --
         "uniqueness_orders_custkey": uniqueness_query(
             "orders", ["o_custkey"], "uniqueness"
@@ -914,49 +914,31 @@ def oracle_sql() -> dict[str, str]:
             " CASE WHEN doc_id % 3 = 0 THEN 'html' ELSE 'unknown' END"
             " AS format FROM documents"
         ),
-        "size_lineitem": "SELECT CAST(count(*) AS DOUBLE) AS size_value FROM lineitem",
-        "completeness_documents_text": (
-            "SELECT CAST(count(text) AS DOUBLE)/count(*) AS completeness"
+        "analyzers_fused_lineitem": (
+            # one aggregate row mirroring the fused single-scan run;
+            # quantile: nearest-rank median == discrete quantile here
+            "SELECT CAST(count(*) AS DOUBLE) AS size_value,"
+            " CAST(min(l_quantity) AS DOUBLE) AS min_qty,"
+            " CAST(max(l_quantity) AS DOUBLE) AS max_qty,"
+            " CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,"
+            " round(avg(l_extendedprice), 4) AS mean_price,"
+            " round(stddev_pop(l_discount), 6) AS stddev_discount,"
+            " CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty,"
+            " CAST(min(CASE WHEN l_returnflag = 'A' THEN l_quantity END)"
+            " AS DOUBLE) AS min_qty_filtered"
+            " FROM lineitem"
+        ),
+        "analyzers_fused_documents": (
+            "SELECT CAST(count(text) AS DOUBLE)/count(*) AS completeness,"
+            " CAST(min(length(text)) AS DOUBLE) AS min_len,"
+            " CAST(max(length(text)) AS DOUBLE) AS max_len,"
+            " CAST(sum(CASE WHEN regexp_matches(text, '\\bspark\\b')"
+            " THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS match_frac"
             " FROM documents"
-        ),
-        "minimum_l_quantity": (
-            "SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty FROM lineitem"
-        ),
-        "maximum_l_quantity": (
-            "SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty FROM lineitem"
-        ),
-        "sum_l_quantity": (
-            "SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty FROM lineitem"
-        ),
-        "mean_l_extendedprice": (
-            "SELECT round(avg(l_extendedprice), 4) AS mean_price FROM lineitem"
-        ),
-        "stddev_pop_l_discount": (
-            "SELECT round(stddev_pop(l_discount), 6) AS stddev_discount"
-            " FROM lineitem"
-        ),
-        "quantile_nearest_l_quantity": (
-            # nearest-rank median == discrete quantile on this data
-            "SELECT CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty"
-            " FROM lineitem"
-        ),
-        "min_length_documents_text": (
-            "SELECT CAST(min(length(text)) AS DOUBLE) AS min_len FROM documents"
-        ),
-        "max_length_documents_text": (
-            "SELECT CAST(max(length(text)) AS DOUBLE) AS max_len FROM documents"
-        ),
-        "minimum_l_quantity_filtered": (
-            "SELECT CAST(min(l_quantity) AS DOUBLE) AS min_qty FROM lineitem"
-            " WHERE l_returnflag = 'A'"
         ),
         "compliance_purchase_value": (
             "SELECT CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)"
             "/count(*) AS frac FROM events WHERE event_type = 'purchase'"
-        ),
-        "pattern_match_spark_documents": (
-            "SELECT CAST(sum(CASE WHEN regexp_matches(text, '\\bspark\\b')"
-            " THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS match_frac FROM documents"
         ),
         "uniqueness_orders_custkey": (
             "SELECT CAST(sum(CASE WHEN c=1 THEN 1 ELSE 0 END) AS DOUBLE)/sum(c)"
