@@ -593,6 +593,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.posexplode("signature").alias("pos", "h"),
         ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
 
+    def minhash_cluster_dedup_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        # TRANSITIVE survivor policy: connected components over the
+        # similar-pair graph (O(log n) star scheme), one smallest-id
+        # survivor per component.  The oracle replays the same pair
+        # table (64 universal hashes + banding + >= 0.7 agreement) and
+        # closes it with a DuckDB WITH RECURSIVE reachability CTE, so
+        # the component collapse itself is hash-verified.
+        from hooqu_spark.ops import minhash_dedup_clusters
+
+        df = _t(spark, sf_dir, "documents")
+        return minhash_dedup_clusters(df, "doc_id", threshold=0.7).select(
+            "doc_id"
+        )
+
     def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # md5-keyed bit votes -> DuckDB replays the exact signature.
         from hooqu_spark.ops import simhash_signatures
@@ -699,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": ivf_topk_query,
         "minhash_dedup_documents": minhash_dedup_query,
         "minhash_signatures_documents": minhash_signatures_query,
+        "minhash_cluster_dedup_documents": minhash_cluster_dedup_query,
         "simhash_signatures_documents": simhash_query,
         "simhash_dedup_documents": simhash_dedup_query,
         "cosine_pairs_embeddings": cosine_pairs_query,
@@ -1152,6 +1169,27 @@ def oracle_sql() -> dict[str, str]:
             " ON a.doc_id < b.doc_id),"
             f" lo AS (SELECT DISTINCT ib FROM pr WHERE ({band_or})"
             f" AND ({agree_sum}) / 64.0 >= 0.7)"
+            " SELECT doc_id FROM documents"
+            " WHERE doc_id NOT IN (SELECT ib FROM lo)"
+        ),
+        "minhash_cluster_dedup_documents": (
+            # Same similar-pair table as minhash_dedup_documents, then
+            # a recursive reachability closure: each node's cluster
+            # label is the min over everything it can reach; survivors
+            # are nodes that ARE their component minimum (or isolated).
+            f"{minhash_sig_cte.replace('WITH ', 'WITH RECURSIVE ', 1)},"
+            " pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,"
+            " a.sg AS sa, b.sg AS sb FROM sig a JOIN sig b"
+            " ON a.doc_id < b.doc_id),"
+            f" sim AS (SELECT ia, ib FROM pr WHERE ({band_or})"
+            f" AND ({agree_sum}) / 64.0 >= 0.7),"
+            " e AS (SELECT ia AS u, ib AS v FROM sim"
+            " UNION SELECT ib, ia FROM sim),"
+            " reach(u, v) AS (SELECT u, v FROM e"
+            " UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u"
+            " WHERE e.v <> r.u),"
+            " lo AS (SELECT u AS ib FROM reach GROUP BY u"
+            " HAVING min(v) < u)"
             " SELECT doc_id FROM documents"
             " WHERE doc_id NOT IN (SELECT ib FROM lo)"
         ),
