@@ -609,6 +609,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def span_dedup_query(mode: str):
+        # Substring-level exact dedup (Lee et al. ExactSubstr family,
+        # span approximation): every repeated 8-token span removed from
+        # all but its first (id, position) occurrence, text rebuilt
+        # from surviving spans.  "tile" = fixed non-overlapping tiles;
+        # "cdc" = content-defined chunk boundaries (md5-hash % 8 == 0),
+        # alignment-robust.  Both replayed verbatim in DuckDB.
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from hooqu_spark.ops import repeated_span_dedup
+
+            df = _t(spark, sf_dir, "documents")
+            return repeated_span_dedup(
+                df, "doc_id", span_tokens=8, mode=mode, cdc_divisor=8
+            )
+
+        return q
+
     def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # md5-keyed bit votes -> DuckDB replays the exact signature.
         from hooqu_spark.ops import simhash_signatures
@@ -716,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_documents": minhash_dedup_query,
         "minhash_signatures_documents": minhash_signatures_query,
         "minhash_cluster_dedup_documents": minhash_cluster_dedup_query,
+        "span_dedup_documents": span_dedup_query("tile"),
+        "span_dedup_cdc_documents": span_dedup_query("cdc"),
         "simhash_signatures_documents": simhash_query,
         "simhash_dedup_documents": simhash_dedup_query,
         "cosine_pairs_embeddings": cosine_pairs_query,
@@ -1192,6 +1211,52 @@ def oracle_sql() -> dict[str, str]:
             " HAVING min(v) < u)"
             " SELECT doc_id FROM documents"
             " WHERE doc_id NOT IN (SELECT ib FROM lo)"
+        ),
+        "span_dedup_documents": (
+            # tile-mode span dedup: fixed 8-token tiles, first
+            # (doc_id, idx) occurrence per distinct span survives,
+            # text rebuilt from surviving spans in order
+            "WITH w AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(coalesce(text,''),"
+            " '\\s+'), x -> x <> '') AS ws FROM documents),"
+            " t AS (SELECT doc_id, ws,"
+            " unnest(range(1, (len(ws)+7)//8 + 1)) AS i FROM w),"
+            " sp AS (SELECT doc_id, i AS idx,"
+            " array_to_string(ws[(i-1)*8+1 : i*8], ' ') AS span FROM t),"
+            " k AS (SELECT doc_id, idx, span FROM sp QUALIFY"
+            " row_number() OVER (PARTITION BY span"
+            " ORDER BY doc_id, idx) = 1),"
+            " r AS (SELECT doc_id, string_agg(span, ' ' ORDER BY idx)"
+            " AS txt FROM k GROUP BY doc_id)"
+            " SELECT d.doc_id, coalesce(r.txt, '') AS text"
+            " FROM documents d LEFT JOIN r USING (doc_id)"
+        ),
+        "span_dedup_cdc_documents": (
+            # content-defined chunks: boundary AFTER tokens whose
+            # 32-bit md5 hash % 8 == 0; chunk id = running boundary
+            # count over preceding tokens; then the same first-
+            # occurrence survivor + rebuild as tile mode
+            "WITH w AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(coalesce(text,''),"
+            " '\\s+'), x -> x <> '') AS ws FROM documents),"
+            " t AS (SELECT doc_id, ws,"
+            " unnest(range(1, len(ws)+1)) AS pos FROM w),"
+            " tb AS (SELECT doc_id, pos, ws[pos] AS wd,"
+            " CASE WHEN ('0x' || substr(md5(ws[pos]),1,8))::UBIGINT"
+            " % 8 = 0 THEN 1 ELSE 0 END AS b FROM t),"
+            " tc AS (SELECT doc_id, pos, wd, coalesce(sum(b) OVER"
+            " (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid FROM tb),"
+            " sp AS (SELECT doc_id, cid AS idx,"
+            " string_agg(wd, ' ' ORDER BY pos) AS span FROM tc"
+            " GROUP BY doc_id, cid),"
+            " k AS (SELECT doc_id, idx, span FROM sp QUALIFY"
+            " row_number() OVER (PARTITION BY span"
+            " ORDER BY doc_id, idx) = 1),"
+            " r AS (SELECT doc_id, string_agg(span, ' ' ORDER BY idx)"
+            " AS txt FROM k GROUP BY doc_id)"
+            " SELECT d.doc_id, coalesce(r.txt, '') AS text"
+            " FROM documents d LEFT JOIN r USING (doc_id)"
         ),
         "simhash_signatures_documents": (
             f"{simhash_cte}"

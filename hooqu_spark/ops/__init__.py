@@ -26,6 +26,7 @@ from .dedup import (
     jaccard_similar_pairs,
     minhash_signatures,
     ngram_jaccard_dedup,
+    repeated_span_dedup,
     simhash_dedup,
     simhash_signatures,
 )
@@ -87,6 +88,7 @@ __all__ = [
     "minhash_dedup_clusters",
     "minhash_similar_pairs",
     "ngram_jaccard_dedup",
+    "repeated_span_dedup",
     "quality_features",
     "salted_agg",
     "salted_distinct_counts",

@@ -797,3 +797,154 @@ def ngram_jaccard_dedup(
     finally:
         sh.unpersist()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (span) dedup
+# ---------------------------------------------------------------------------
+
+def _words_of(text_col: str) -> F.Column:
+    """Whitespace tokens of ``text_col`` with empties dropped — the
+    shared tokenization of the shingle/simhash kernels (DuckDB replays
+    it as ``list_filter(regexp_split_to_array(coalesce(text,''),
+    '\\s+'), x -> x <> '')``)."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _span_occurrences_tile(
+    wf: DataFrame, span_tokens: int
+) -> DataFrame:
+    """``(id, idx, span)`` fixed-size spans: consecutive non-overlapping
+    ``span_tokens``-token tiles (the final short tile kept).  Pure
+    Catalyst: k-token slices cost O(n) array copies per doc total."""
+    k = span_tokens
+    n_spans = F.ceil(F.size("_ws") / F.lit(k)).cast("int")
+    tiles = F.when(F.size("_ws") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(F.slice("_ws", i * k + 1, k), " "),
+        )
+    )
+    # two-step projection: _spans materialized once; posexplode_outer
+    # + IS NOT NULL (not plain posexplode) so the optimizer does not
+    # infer a size()>0 refilter that re-evaluates the tile expression
+    return (
+        wf.select("id", tiles.alias("_spans"))
+        .select("id", F.posexplode_outer("_spans").alias("idx", "span"))
+        .where(F.col("span").isNotNull())
+    )
+
+
+def _span_occurrences_cdc(
+    wf: DataFrame, cdc_divisor: int
+) -> DataFrame:
+    """``(id, idx, span)`` content-defined chunks: a chunk boundary
+    falls AFTER every token whose 32-bit md5 hash is divisible by
+    ``cdc_divisor`` (expected chunk length = ``cdc_divisor`` tokens).
+    Boundaries depend only on content, so a duplicated passage chunks
+    identically regardless of its token offset inside the document —
+    the alignment robustness fixed-tile spans lack.
+
+    One shuffle on the doc id (running-sum window for chunk ids, then
+    a partial-agg groupBy on the same key reassembles chunks)."""
+    tok = (
+        wf.select("id", F.posexplode_outer("_ws").alias("pos", "_w"))
+        .where(F.col("_w").isNotNull())
+        .withColumn(
+            "_b", (_str_hash32(F.col("_w")) % cdc_divisor == 0).cast("int")
+        )
+    )
+    prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn(
+        "idx", F.coalesce(F.sum("_b").over(prev), F.lit(0)).cast("int")
+    )
+    return chunked.groupBy("id", "idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_w"))),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("span")
+    )
+
+
+def repeated_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    span_tokens: int = 8,
+    mode: str = "tile",
+    cdc_divisor: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — the ExactSubstr
+    family): remove every repeated token span from ALL BUT its first
+    occurrence (ordering: smallest ``(id, position)``), then rewrite
+    each document from its surviving spans.  Unlike the document-level
+    deduppers (:func:`minhash_dedup` etc.) this deletes duplicated
+    PASSAGES inside otherwise-unique documents — boilerplate headers,
+    quoted paragraphs, licence blocks.
+
+    Lee et al. build a monolithic suffix array, which has no bounded-
+    memory distributed equivalent; this is the Spark-native span
+    approximation:
+
+    * ``mode="tile"``: consecutive non-overlapping ``span_tokens``-token
+      tiles.  Cheapest (no per-token shuffle), but a duplicate shifted
+      by <k tokens tiles differently and is missed.
+    * ``mode="cdc"``: content-defined chunking — boundaries where the
+      token's 32-bit md5 hash ≡ 0 (mod ``cdc_divisor``).  Chunking is
+      offset-independent, so shifted copies still dedup; costs one
+      extra shuffle on the doc id.
+
+    Scale: the only content shuffle is ONE groupBy on the span string
+    with a map-side ``min(struct(id, idx))`` combine — a hot boilerplate
+    span collapses to one row per map partition, so skew is bounded;
+    no all-pairs comparison and no driver-side state.  Output is
+    ``(id, text)`` with whitespace normalized to single spaces (a
+    consequence of token-level rewrite); docs whose every span was a
+    repeat come back as empty strings.  Deterministic and engine-
+    portable — the driver contract hash-verifies the rewritten corpus
+    against a DuckDB replay at sf0.01.
+    """
+    src = _spread_small_input(df.select(id_col, text_col))
+    wf = src.select(
+        F.col(id_col).alias("id"), _words_of(text_col).alias("_ws")
+    )
+    if mode == "tile":
+        occ = _span_occurrences_tile(wf, span_tokens)
+    elif mode == "cdc":
+        occ = _span_occurrences_cdc(wf, cdc_divisor)
+    else:
+        raise ValueError(f"unknown span mode: {mode!r}")
+    first = occ.groupBy("span").agg(
+        F.min(F.struct("id", "idx")).alias("_f")
+    )
+    keep = first.select(
+        F.col("_f.id").alias("id"), F.col("_f.idx").alias("idx"), "span"
+    )
+    rebuilt = keep.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("_txt")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_txt", F.lit("")).alias(text_col),
+        )
+    )

@@ -650,3 +650,139 @@ class TestMinHashClusters:
         assert len(keys) == len(set(keys))  # no duplicate pairs
         assert all(r["est_jaccard"] >= 0.8 for r in pairs)
         assert (0, 1) in keys  # the exact duplicate pair
+
+
+class TestRepeatedSpanDedup:
+    """Substring-level dedup: repeated k-token spans removed from all
+    but their first (id, position) occurrence, text rebuilt from the
+    surviving spans."""
+
+    @pytest.fixture(scope="class")
+    def span_docs(self, spark):
+        boiler = "all rights reserved contact us terms of service apply"
+        rows = [
+            (0, "alpha beta gamma delta " + boiler),
+            (1, "epsilon zeta eta theta " + boiler),  # repeated tail
+            (2, boiler),  # nothing but the boilerplate
+            (3, "iota kappa"),  # short unique doc
+            (4, ""),  # empty
+            (5, None),  # null text
+        ]
+        return spark.createDataFrame(rows, "id long, text string")
+
+    @staticmethod
+    def _reference(rows, k):
+        """Independent pure-Python replay of the tile-mode contract."""
+        first: dict = {}
+        tiles = {}
+        for i, text in rows:
+            ws = [w for w in (text or "").split() if w]
+            spans = [
+                " ".join(ws[j : j + k]) for j in range(0, len(ws), k)
+            ]
+            tiles[i] = spans
+            for idx, s in enumerate(spans):
+                if s not in first or (i, idx) < first[s]:
+                    first[s] = (i, idx)
+        return {
+            i: " ".join(
+                s
+                for idx, s in enumerate(spans)
+                if first[s] == (i, idx)
+            )
+            for i, spans in tiles.items()
+        }
+
+    def test_tile_mode_matches_reference(self, spark, span_docs):
+        from hooqu_spark.ops import repeated_span_dedup
+
+        rows = [(r.id, r.text) for r in span_docs.collect()]
+        for k in (2, 4, 8):
+            got = {
+                r.id: r.text
+                for r in repeated_span_dedup(
+                    span_docs, "id", span_tokens=k
+                ).collect()
+            }
+            assert got == self._reference(rows, k), f"k={k}"
+
+    def test_tile_repeated_span_removed_once(self, spark, span_docs):
+        from hooqu_spark.ops import repeated_span_dedup
+
+        out = {
+            r.id: r.text
+            for r in repeated_span_dedup(
+                span_docs, "id", span_tokens=4
+            ).collect()
+        }
+        boiler = "all rights reserved contact us terms of service apply"
+        # doc 0 (smallest id) keeps the boilerplate; 1 and 2 lose it
+        assert boiler in out[0]
+        assert "reserved" not in out[1] and out[1].startswith("epsilon")
+        assert out[2] == ""
+        # unique / empty docs untouched (modulo whitespace normalize)
+        assert out[3] == "iota kappa"
+        assert out[4] == "" and out[5] == ""
+
+    def test_within_doc_repeat_collapsed(self, spark):
+        from hooqu_spark.ops import repeated_span_dedup
+
+        df = spark.createDataFrame(
+            [(0, "a b c d a b c d a b c d")], "id long, text string"
+        )
+        out = repeated_span_dedup(df, "id", span_tokens=4).collect()
+        assert out[0].text == "a b c d"
+
+    def test_cdc_mode_shift_robust(self, spark):
+        """A long duplicated passage prefixed by different junk still
+        dedups under CDC chunking (content-defined boundaries), while
+        tile mode misses it (offset breaks tile alignment)."""
+        from hooqu_spark.ops import repeated_span_dedup
+
+        passage = (
+            "spark shuffles hash partitions across executors while "
+            "catalyst prunes columns and pushes filters into the scan "
+            "so whole stage codegen keeps expressions inside the jvm"
+        )
+        df = spark.createDataFrame(
+            [(0, passage), (1, "one two three " + passage)],
+            "id long, text string",
+        )
+        cdc = {
+            r.id: r.text
+            for r in repeated_span_dedup(
+                df, "id", mode="cdc", cdc_divisor=4
+            ).collect()
+        }
+        # every CDC chunk of doc 0 reappears in doc 1's tail and is
+        # removed there; only the unaligned head chunk(s) survive
+        assert cdc[0] == " ".join(passage.split())
+        assert "one two three" in cdc[1]
+        assert len(cdc[1].split()) < len(passage.split())
+
+    def test_cdc_chunks_cover_and_order(self, spark):
+        """CDC rebuild with no duplicates reproduces each doc verbatim
+        (whitespace-normalized) — chunking is a partition of the token
+        sequence in order."""
+        from hooqu_spark.ops import repeated_span_dedup
+
+        rows = [
+            (0, "one ring to rule them all and in the darkness bind"),
+            (1, "ash nazg durbatuluk agh burzum ishi krimpatul"),
+            (2, ""),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {
+            r.id: r.text
+            for r in repeated_span_dedup(
+                df, "id", mode="cdc", cdc_divisor=3
+            ).collect()
+        }
+        for i, text in rows:
+            assert out[i] == " ".join(text.split())
+
+    def test_bad_mode_raises(self, spark, span_docs):
+        from hooqu_spark.ops import repeated_span_dedup
+
+        with pytest.raises(ValueError, match="span mode"):
+            repeated_span_dedup(span_docs, "id", mode="suffix")
