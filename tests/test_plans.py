@@ -240,3 +240,76 @@ class TestPlansSurviveAQE:
             .collect()
         }
         assert got == want
+
+
+class TestNewOpsSurviveAQE:
+    """Round-4 additions to the AQE suite: the two-phase shape of the
+    salted distinct count and the IVF probe's file-level partition
+    pruning must survive adaptive re-planning."""
+
+    @pytest.fixture()
+    def aqe(self, spark):
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        yield spark
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+    def test_salted_distinct_two_phase_survives_aqe(self, aqe, lineitem):
+        from hooqu_spark.ops import salted_distinct_counts
+
+        out = salted_distinct_counts(
+            lineitem, ["l_returnflag"], "l_orderkey", n_salts=8
+        )
+        got = {r["l_returnflag"]: r["n_distinct"] for r in out.collect()}
+        p = TestPlansSurviveAQE.final_plan(out)
+        assert "isFinalPlan=true" in p
+        # phase 1 shuffles on (key, VALUE-stable salt); phase 2 on the
+        # key alone — AQE may coalesce partitions but must keep both
+        # exchanges and the salt in the first one
+        assert "_hooqu_salt" in p
+        exchanges = [
+            ln for ln in p.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert any("_hooqu_salt" in ln for ln in exchanges)
+        assert any(
+            "l_returnflag" in ln and "_hooqu_salt" not in ln
+            for ln in exchanges
+        )
+        # behavioral: per-salt distincts still sum to the plain answer
+        want = {
+            r["l_returnflag"]: r["n"]
+            for r in lineitem.groupBy("l_returnflag")
+            .agg(F.count_distinct("l_orderkey").alias("n"))
+            .collect()
+        }
+        assert got == want
+
+    def test_ivf_probe_partition_filter_survives_aqe(
+        self, aqe, tmp_path
+    ):
+        import numpy as np
+
+        from hooqu_spark.ops import ivf_build_index, ivf_probe_index
+
+        rng = np.random.RandomState(11)
+        mat = rng.standard_normal((200, 8))
+        vecs = aqe.createDataFrame(
+            [(i, [float(x) for x in mat[i]]) for i in range(200)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "ivf_aqe")
+        ivf_build_index(vecs, path, n_centroids=8)
+        probe = ivf_probe_index(
+            aqe, path, mat[7].tolist(), k=5, n_probe=2
+        )
+        assert 7 in [r["vec_id"] for r in probe.collect()]
+        p = TestPlansSurviveAQE.final_plan(probe)
+        # pruning is file-listing level and must not degrade to a
+        # post-scan row filter under AQE
+        assert "PartitionFilters" in p
+        scan_line = p[p.index("PartitionFilters"):][:200]
+        assert "ivf_list" in scan_line
