@@ -129,12 +129,6 @@ def _wait_for_quiet_window(max_attempts: int = 4, sleep_s: int = 45) -> float:
 def main() -> None:
     queries: dict[str, float] = {}
 
-    if RUN_SCALING:
-        # the calibration the HEADLINE timings actually ran under —
-        # recorded separately from hw_cpu_scaling_efficiency, which is
-        # re-measured in the scaling section ~10 min later
-        queries["hw_gate_calibration"] = round(_wait_for_quiet_window(), 3)
-
     spark = make_session(CPUS)
 
     # one-time deterministic input for the pipeline benchmarks
@@ -169,22 +163,12 @@ def main() -> None:
             .run()
         )
 
-    queries["verification_suite_lineitem"] = timed_min(q_suite)
-
     # -- headline 2: grouping analyzer (shuffle path) -----------------------
     def q_uniqueness():
         from hooqu_spark.analyzers import Uniqueness
 
         lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         Uniqueness(["l_orderkey", "l_linenumber"]).calculate(lineitem)
-
-    queries["uniqueness_lineitem_pk"] = timed_min(q_uniqueness)
-
-    # -- headline 3: full pipeline compute at max cores ---------------------
-    pipeline_job(spark, PAGES_DIR)  # warm-up (python workers, JIT)
-    t_pipeline = min(timed(lambda: pipeline_job(spark, PAGES_DIR)) for _ in range(3))
-    queries["pipeline_enrich_rules_docs"] = t_pipeline
-    queries["pipeline_docs_per_sec"] = round(N_DOCS / t_pipeline, 1)
 
     # -- headline 4: minhash dedup on documents -----------------------------
     def q_dedup():
@@ -193,8 +177,6 @@ def main() -> None:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         minhash_dedup(docs, "doc_id", threshold=0.7).count()
 
-    queries["minhash_dedup_documents"] = timed_min(q_dedup, reps=3)
-
     # -- headline 5: brute-force cosine top-k -------------------------------
     def q_topk():
         from hooqu_spark.ops import brute_force_topk
@@ -202,8 +184,6 @@ def main() -> None:
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         q = emb.where("vec_id = 3").first()["embedding"]
         brute_force_topk(emb, list(q), k=10).collect()
-
-    queries["topk_cosine_embeddings"] = timed_min(q_topk)
 
     # -- headline 6: extension analyzers (correlation + MI + histograms) ----
     def q_extensions():
@@ -228,18 +208,12 @@ def main() -> None:
             ],
         )
 
-    q_extensions()  # warm (codegen, window/percentile classes)
-    queries["extension_analyzers_lineitem"] = timed_min(q_extensions)
-
     # -- headline 7: column profiler (fused pass + histograms) --------------
     def q_profile():
         from hooqu_spark.profiler import profile_columns
 
         orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
         profile_columns(orders)
-
-    q_profile()  # warm
-    queries["profile_columns_orders"] = timed_min(q_profile, reps=3)
 
     # -- headline 8: skew-safe salted aggregation ---------------------------
     def q_salted():
@@ -248,9 +222,72 @@ def main() -> None:
         lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         salted_counts(lineitem, ["l_returnflag"], n_salts=32).collect()
 
-    # min-of-3: the r3 committed value drifted 0.40 -> 0.53s purely on
-    # window noise at ~0.1s absolute; one extra rep settles it
-    queries["salted_counts_lineitem"] = timed_min(q_salted, reps=3)
+    # -- gated headline measurement -----------------------------------------
+    # Round 3's committed artifact recorded its scaling runs in a dirty
+    # window because the quiet-window gate only guarded the START of the
+    # bench; round 4's interim run showed the inverse failure — the
+    # per-attempt-gated scaling section cleared its target while the
+    # headline queries (gated only at start, where the gate gave up at
+    # 0.713) inflated ~40%.  So the headline block is now the same shape
+    # as the scaling section: gate -> run every query -> post-hoc hw
+    # re-measure that certifies the window HELD through the runs; a
+    # dirty attempt retries (bounded) and the best-certified attempt is
+    # the committed record.  min-of-3 reps on the queries that drifted
+    # on window noise in past rounds (minhash, profiler, salted).
+    pipeline_job(spark, PAGES_DIR)  # warm-up (python workers, JIT)
+    q_extensions()  # warm (codegen, window/percentile classes)
+    q_profile()  # warm
+
+    headline = [
+        ("verification_suite_lineitem", q_suite, 2),
+        ("uniqueness_lineitem_pk", q_uniqueness, 2),
+        ("minhash_dedup_documents", q_dedup, 3),
+        ("topk_cosine_embeddings", q_topk, 2),
+        ("extension_analyzers_lineitem", q_extensions, 2),
+        ("profile_columns_orders", q_profile, 3),
+        # min-of-3: the r3 committed salted value drifted 0.40 -> 0.53s
+        # purely on window noise at ~0.1s absolute; one extra rep settles it
+        ("salted_counts_lineitem", q_salted, 3),
+    ]
+
+    def _headline_attempt() -> dict:
+        gate = _wait_for_quiet_window() if RUN_SCALING else -1.0
+        res: dict[str, float] = {}
+        t_pipeline = min(
+            timed(lambda: pipeline_job(spark, PAGES_DIR)) for _ in range(3)
+        )
+        res["pipeline_enrich_rules_docs"] = t_pipeline
+        res["pipeline_docs_per_sec"] = round(N_DOCS / t_pipeline, 1)
+        for name, fn, reps in headline:
+            res[name] = timed_min(fn, reps)
+        post = (
+            (_raw_cpu_rate(32) / _raw_cpu_rate(8)) / 4.0
+            if RUN_SCALING
+            else -1.0
+        )
+        return {
+            "queries": res,
+            "gate": gate,
+            "post": post,
+            "cert": min(gate, post),
+        }
+
+    best_headline = None
+    for headline_attempt in range(1, 3):
+        att = _headline_attempt()
+        if best_headline is None or att["cert"] > best_headline["cert"]:
+            best_headline = att
+        if not RUN_SCALING or att["cert"] >= 0.75:
+            break
+    queries.update(best_headline["queries"])
+    if RUN_SCALING:
+        # the calibration the HEADLINE timings actually ran under (gate
+        # = immediately before, post = immediately after) — recorded
+        # separately from hw_cpu_scaling_efficiency, which the scaling
+        # section re-measures for its own window
+        queries["hw_gate_calibration"] = round(best_headline["gate"], 3)
+        queries["hw_post_calibration"] = round(best_headline["post"], 3)
+        queries["hw_headline_attempts"] = headline_attempt
 
     # -- headline 9: skew evidence — zipf-host exact-distinct ---------------
     # A deterministic zipf-ish corpus (one host holding ~60% of 12M
