@@ -105,6 +105,30 @@ def pipeline_job(spark, pages_path: str) -> None:
     ).collect()
 
 
+def _kernel_ms_per_doc() -> float:
+    """Single-core enrich-kernel latency (best-of-5 over 200 synthetic
+    docs) — an ABSOLUTE hardware calibration.  The quiet-window gate
+    only certifies the 8-vs-32 scaling RATIO, which stays high when a
+    neighbor loads all cores uniformly; this number catches uniform
+    slowdowns, so cross-ROUND comparisons of the committed artifacts
+    can separate host decay from code regressions (round 1 measured
+    0.24 ms/doc on this kernel; a committed round reading 0.36 means
+    every absolute seconds figure carries a ~1.5x host handicap)."""
+    from hooqu_spark.pipeline.features import compute_doc_features
+    from hooqu_spark.pipeline.synth import make_doc
+
+    texts = [make_doc(i)["text"] for i in range(200)]
+    for t in texts:  # warm
+        compute_doc_features(t)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for t in texts:
+            compute_doc_features(t)
+        best = min(best, time.perf_counter() - t0)
+    return best / 200 * 1000
+
+
 def _wait_for_quiet_window(max_attempts: int = 4, sleep_s: int = 45) -> float:
     """Gate the benchmark on a quiet host: measure the hardware CPU
     scaling calibration (8 vs 32 plain-multiprocessing workers on the
@@ -269,11 +293,12 @@ def main() -> None:
             "queries": res,
             "gate": gate,
             "post": post,
+            "kernel_ms": _kernel_ms_per_doc() if RUN_SCALING else -1.0,
             "cert": min(gate, post),
         }
 
     best_headline = None
-    for headline_attempt in range(1, 3):
+    for headline_attempt in range(1, 4):
         att = _headline_attempt()
         if best_headline is None or att["cert"] > best_headline["cert"]:
             best_headline = att
@@ -288,6 +313,12 @@ def main() -> None:
         queries["hw_gate_calibration"] = round(best_headline["gate"], 3)
         queries["hw_post_calibration"] = round(best_headline["post"], 3)
         queries["hw_headline_attempts"] = headline_attempt
+        # absolute single-core kernel latency of the window the record
+        # was captured in (round 1: 0.24 ms/doc) — normalizes committed
+        # seconds across rounds on this decaying shared host
+        queries["hw_kernel_ms_per_doc"] = round(
+            best_headline["kernel_ms"], 3
+        )
 
     # -- headline 9: skew evidence — zipf-host exact-distinct ---------------
     # A deterministic zipf-ish corpus (one host holding ~60% of 12M
