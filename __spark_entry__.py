@@ -451,6 +451,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, id_col="vec_id", vec_col="e", threshold=0.3, n_planes=3
         ).select("id_a", "id_b")
 
+    def sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Native session-window sessionization (ONE shuffle on the
+        # user key; Spark merges touching windows, so the oracle's
+        # gaps-and-islands replay uses a STRICT `> gap` island break).
+        # Timestamps exported as formatted strings: engine-portable
+        # (pandas datetime64[ns] vs [us] would dtype-mismatch).
+        from hooqu_spark.ops import sessionize
+
+        df = _t(spark, sf_dir, "events")
+        s = sessionize(df, "user_id", "ts", gap="4 hours")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        return s.select(
+            "user_id",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+            "n_events",
+            "session_micros",
+        )
+
+    def session_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Per-user rollup over the session table — the second groupBy
+        # keys on the user alone, so it reuses the session shuffle's
+        # hashpartitioning(user) without a second exchange.
+        from hooqu_spark.ops import session_stats
+
+        df = _t(spark, sf_dir, "events")
+        s = session_stats(df, "user_id", "ts", gap="4 hours")
+        # exported in SECONDS: round(x, 6) at the raw micros magnitude
+        # (~1e9) sits below one double ulp, so the 6-decimal contract
+        # would flake on last-ulp engine differences; at seconds
+        # magnitude (~4e3) six decimals are exactly representable
+        return s.select(
+            "user_id",
+            "n_sessions",
+            "total_events",
+            F.round(F.col("avg_session_micros") / F.lit(1e6), 6).alias(
+                "avg_session_seconds"
+            ),
+        )
+
     def canonical_url_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # URL canonicalization over deterministic synthetic URLs derived
         # from event_id (testdata has no url column): exercises fragment
@@ -744,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
         "jaccard_pairs_documents": jaccard_pairs_query,
         "canonical_urls_events": canonical_url_query,
+        "sessions_events": sessions_query,
+        "session_stats_events": session_stats_query,
         "line_dedup_documents": line_dedup_query,
         "stratified_sample_documents": stratified_sample_query,
         "contamination_documents": contamination_query,
@@ -875,6 +917,44 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE {jaccard_expr} >= 0.8)"
         ),
         "langid_documents": langid_oracle,
+        # gaps-and-islands replay of the native session window; Spark
+        # merges TOUCHING windows, hence the STRICT `> INTERVAL` break
+        "sessions_events": (
+            "WITH e AS (SELECT user_id, ts FROM events"
+            " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL"
+            " OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END"
+            " AS ns FROM e WINDOW w AS"
+            " (PARTITION BY user_id ORDER BY ts)),"
+            " g AS (SELECT user_id, ts, sum(ns) OVER"
+            " (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+            " AS sid FROM s)"
+            " SELECT user_id,"
+            " strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,"
+            " strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S.%f')"
+            " AS session_end,"
+            " CAST(count(*) AS BIGINT) AS n_events,"
+            " epoch_us(max(ts)) - epoch_us(min(ts)) AS session_micros"
+            " FROM g GROUP BY user_id, sid"
+        ),
+        "session_stats_events": (
+            "WITH e AS (SELECT user_id, ts FROM events"
+            " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL"
+            " OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END"
+            " AS ns FROM e WINDOW w AS"
+            " (PARTITION BY user_id ORDER BY ts)),"
+            " g AS (SELECT user_id, ts, sum(ns) OVER"
+            " (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+            " AS sid FROM s),"
+            " r AS (SELECT user_id,"
+            " epoch_us(max(ts)) - epoch_us(min(ts)) AS session_micros,"
+            " count(*) AS n FROM g GROUP BY user_id, sid)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,"
+            " CAST(sum(n) AS BIGINT) AS total_events,"
+            " round(avg(CAST(session_micros AS DOUBLE)) / 1e6, 6)"
+            " AS avg_session_seconds FROM r GROUP BY user_id"
+        ),
         "canonical_urls_events": (
             "WITH u0 AS (SELECT event_id,"
             " 'HTTPS://Host' || CAST(event_id % 7 AS VARCHAR)"

@@ -47,6 +47,11 @@ from .skew import (
     salted_numeric_summary,
     top_hot_keys,
 )
+from .sessions import (
+    session_stats,
+    sessionize,
+    streaming_sessions,
+)
 from .web import (
     canonicalize_urls,
     host_col,
@@ -95,7 +100,10 @@ __all__ = [
     "salted_counts",
     "salted_numeric_summary",
     "sample_to_token_budget",
+    "session_stats",
+    "sessionize",
     "simhash_dedup",
+    "streaming_sessions",
     "stratified_sample",
     "simhash_signatures",
     "token_counts",

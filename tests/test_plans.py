@@ -126,6 +126,28 @@ class TestBroadcastAndShuffle:
         out = flag_contamination(documents, bench, "doc_id")
         assert "BroadcastHashJoin" in plan_str(out)
 
+    def test_sessionize_one_user_shuffle_with_partial_merge(self, spark):
+        from hooqu_spark.ops import session_stats, sessionize
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        p = plan_str(sessionize(events))
+        # exactly one exchange, keyed on the user alone (session
+        # windows are data-dependent, so the shuffle key must be the
+        # user; the session merge happens post-sort)
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "user_id" in p.split("Exchange hashpartitioning", 1)[1][:60]
+        # map-side partial session aggregation bounds the shuffle to
+        # merged spans, not raw events
+        assert "partial_count" in p.split("Exchange", 1)[1]
+        assert "MergingSessions" in p
+        # columns pruned to (ts, user) at the scan
+        assert "ReadSchema: struct<ts" in p
+        # the per-user rollup reuses hashpartitioning(user): still ONE
+        # exchange total
+        assert plan_str(session_stats(events)).count(
+            "Exchange hashpartitioning"
+        ) == 1
+
 
 class TestNoCartesianProducts:
     def test_near_duplicates_join_is_keyed(self, spark):
