@@ -491,6 +491,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Point-in-time enrichment: each event joined to the user's
+        # most recent purchase at-or-before it (union-window form, ONE
+        # key shuffle, no join node).  The oracle replays it with
+        # DuckDB's NATIVE ASOF JOIN — two independent as-of
+        # implementations cross-verified value-for-value.  Right side
+        # pre-deduped per (user, ts): equal-ts rows are ambiguous in
+        # any as-of engine.
+        from hooqu_spark.ops import asof_join
+
+        ev = _t(spark, sf_dir, "events").where(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        left = ev.select("event_id", "user_id", "ts")
+        right = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("last_purchase"))
+        )
+        out = asof_join(left, right, ["user_id"], ts_col="ts")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        return out.select(
+            "event_id",
+            "user_id",
+            F.date_format("matched_ts_asof", fmt).alias("matched_ts"),
+            F.col("last_purchase_asof").alias("last_purchase"),
+        )
+
     def canonical_url_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # URL canonicalization over deterministic synthetic URLs derived
         # from event_id (testdata has no url column): exercises fragment
@@ -786,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls_events": canonical_url_query,
         "sessions_events": sessions_query,
         "session_stats_events": session_stats_query,
+        "asof_join_events": asof_join_query,
         "line_dedup_documents": line_dedup_query,
         "stratified_sample_documents": stratified_sample_query,
         "contamination_documents": contamination_query,
@@ -954,6 +983,20 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(n) AS BIGINT) AS total_events,"
             " round(avg(CAST(session_micros AS DOUBLE)) / 1e6, 6)"
             " AS avg_session_seconds FROM r GROUP BY user_id"
+        ),
+        # native ASOF JOIN replay of the union-window as-of operator
+        "asof_join_events": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events"
+            " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " r AS (SELECT user_id, ts, max(value) AS last_purchase"
+            " FROM events WHERE event_type = 'purchase'"
+            " AND user_id IS NOT NULL AND ts IS NOT NULL"
+            " GROUP BY user_id, ts)"
+            " SELECT l.event_id, l.user_id,"
+            " strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,"
+            " r.last_purchase"
+            " FROM l ASOF LEFT JOIN r"
+            " ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "canonical_urls_events": (
             "WITH u0 AS (SELECT event_id,"

@@ -52,6 +52,7 @@ from .sessions import (
     sessionize,
     streaming_sessions,
 )
+from .temporal import asof_join
 from .web import (
     canonicalize_urls,
     host_col,
@@ -67,6 +68,7 @@ from .text import (
 )
 
 __all__ = [
+    "asof_join",
     "brute_force_topk",
     "cosine_similar_pairs",
     "canonicalize_urls",
