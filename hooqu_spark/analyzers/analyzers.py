@@ -42,6 +42,7 @@ from .base import (
     is_numeric,
     is_string,
     nan_safe_col,
+    sql_ident,
     where_cond,
 )
 
@@ -575,7 +576,7 @@ class DataTypeHistogram(ScanShareableAnalyzer):
         profile_columns), which dominated the profiler's wall time on
         small inputs; a single SQL parse is one round trip for the
         whole tree."""
-        c = f"`{self.instance}`"
+        c = sql_ident(self.instance)
         body = (
             f"CASE WHEN substr({c},1,1) IN ('+','-')"
             f" THEN substr({c},2,length({c})) ELSE {c} END"

@@ -171,6 +171,18 @@ def metric_from_empty(
     return metric_from_failure(e, name, instance, entity)
 
 
+def sql_ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into an
+    ``F.expr``/``selectExpr`` SQL string (backticks double)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_str_lit(s: str) -> str:
+    """Escape a Python string for use inside a single-quoted Spark SQL
+    string literal (backslashes and quotes)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 # ---------------------------------------------------------------------------
 # Driver-side expression cache
 #
@@ -197,11 +209,24 @@ def _schema_fingerprint(df: DataFrame) -> tuple:
     return tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields)
 
 
+_GATEWAY_SEQ = [0]
+
+
 def _gateway_token() -> int:
+    """Monotonic token stamped ON the gateway object (``id()`` alone
+    can be recycled by CPython after a stopped JVM's gateway is GC'd,
+    which would serve cached Columns wrapping dead Java references)."""
     from pyspark import SparkContext
 
     gw = SparkContext._gateway
-    return id(gw) if gw is not None else 0
+    if gw is None:
+        return 0
+    tok = getattr(gw, "_hooqu_expr_cache_token", None)
+    if tok is None:
+        _GATEWAY_SEQ[0] += 1
+        tok = _GATEWAY_SEQ[0]
+        gw._hooqu_expr_cache_token = tok
+    return tok
 
 
 def _expr_cache_get(kind: str, analyzer: "Analyzer", df: DataFrame):

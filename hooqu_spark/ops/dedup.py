@@ -54,6 +54,20 @@ def exact_dedup(df: DataFrame, subset: List[str], id_col: str) -> DataFrame:
 # MinHash
 # ---------------------------------------------------------------------------
 
+def _words_of(text_col: str) -> F.Column:
+    """Whitespace tokens of ``text_col`` with empties dropped — THE
+    tokenization every text-dedup kernel in this module shares
+    (shingles, simhash, span dedup).  Single definition on purpose:
+    the DuckDB oracles replay it verbatim as
+    ``list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+    x -> x <> '')``, so a change here must change every generated
+    oracle in ``__spark_entry__.oracle_sql`` with it."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
 def _spread_small_input(df: DataFrame) -> DataFrame:
     """Spread a too-coarse scan across cores before CPU-heavy per-row
     expressions.  A single small parquet file (one row group) arrives
@@ -112,10 +126,7 @@ def shingle_frame(
     when the caller guarantees a shuffle-free scan shape (e.g. the
     decontamination join, whose plan contract is one scan + one
     broadcast)."""
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    words = _words_of(text_col)
     src = df.select(id_col, text_col)
     if spread:
         src = _spread_small_input(src)
@@ -351,10 +362,7 @@ def simhash_signatures(
     documented empty-text signature).  Engine-portable: DuckDB replays
     the identical md5 halves and vote rule, so signatures hash-verify
     in the driver contract."""
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    words = _words_of(text_col)
     tok = _spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.explode_outer(words).alias("_w")
     )
@@ -662,10 +670,7 @@ def _shingle_str_col(text_col: str, shingle_size: int):
     evaluates the tokenizing split once per row; this fused form is for
     contexts that need one inline expression (e.g. the broadcast side
     of the decontamination join)."""
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    words = _words_of(text_col)
     return _shingles_of_words(words, shingle_size)
 
 
@@ -802,17 +807,6 @@ def ngram_jaccard_dedup(
 # ---------------------------------------------------------------------------
 # Substring-level (span) dedup
 # ---------------------------------------------------------------------------
-
-def _words_of(text_col: str) -> F.Column:
-    """Whitespace tokens of ``text_col`` with empties dropped — the
-    shared tokenization of the shingle/simhash kernels (DuckDB replays
-    it as ``list_filter(regexp_split_to_array(coalesce(text,''),
-    '\\s+'), x -> x <> '')``)."""
-    return F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
-
 
 def _span_occurrences_tile(
     wf: DataFrame, span_tokens: int

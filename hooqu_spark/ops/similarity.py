@@ -417,8 +417,10 @@ def cosine_similar_pairs(
 
     # try_divide: a zero-norm (degenerate) embedding yields NULL cosine
     # instead of throwing DIVIDE_BY_ZERO under ANSI mode; NULL fails the
-    # >= threshold predicate so degenerate vectors are silently excluded
-    # (the oracle mirrors this with a NULLIF denominator).
+    # >= threshold predicate so degenerate vectors are silently excluded.
+    # The DuckDB oracle needs no explicit guard: list_cosine_similarity
+    # yields NaN for a zero-norm vector, and NaN likewise fails the
+    # >= threshold — the exclusion agrees cross-engine by construction.
     cosine = F.try_divide(dot, norm("_va") * norm("_vb"))
     if round_to is not None:
         cosine = F.round(cosine, round_to)

@@ -71,12 +71,30 @@ def asof_join(
     deduplicate upstream (e.g. ``groupBy(key, ts).agg(...)``) if the
     input allows them; the window keeps the last in an unspecified
     order among exact duplicates, like any engine's as-of.
+
+    NULLs: NULL join keys never match (SQL join semantics — NULL-key
+    left rows are kept with NULL payload; NULL-key right rows are
+    dropped), and rows without a timestamp cannot be ordered — a
+    NULL-ts left row gets NULL payload (it sorts before every right
+    row), NULL-ts right rows are dropped.
     """
     on = list(on)
     rts = right_ts_col or ts_col
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in on and c != rts]
     payload_cols = list(payload_cols)
+
+    # JOIN semantics on NULL keys: a NULL key never equals anything, so
+    # right rows with any NULL key component can match nothing — drop
+    # them BEFORE the union (without this, Window.partitionBy would
+    # group NULL keys together and enrich NULL-key left rows from
+    # NULL-key right rows, which no SQL join / merge_asof / ASOF JOIN
+    # would do).  NULL-key left rows are still kept, with NULL payload:
+    # they partition among themselves and find no right rows.
+    key_not_null = F.lit(True)
+    for c in on:
+        key_not_null = key_not_null & F.col(c).isNotNull()
+    right = right.where(key_not_null & F.col(rts).isNotNull())
 
     packed = F.struct(
         F.col(rts).alias("_matched_ts"),

@@ -39,7 +39,13 @@ from .analyzers import (
     Size,
     StandardDeviation,
 )
-from .analyzers.base import Analyzer, ScanShareableAnalyzer, apply_projections
+from .analyzers.base import (
+    Analyzer,
+    ScanShareableAnalyzer,
+    apply_projections,
+    sql_ident as _ident,
+    sql_str_lit as _slit,
+)
 from .checks import Check, CheckLevel
 from .metrics import Entity
 from .states import NumMatches
@@ -66,8 +72,13 @@ class _ProfileDistinct(ScanShareableAnalyzer):
 
         c = F.col(self.instance)
         dtype = df.schema[self.instance].dataType
-        if not isinstance(
-            dtype, (T.IntegralType, T.StringType, T.BinaryType)
+        # hll_sketch_agg accepts ONLY int/bigint/string/binary:
+        # byte/short (IntegralType but not accepted) widen to long
+        # (value-distinct-preserving), everything else stringifies
+        if isinstance(dtype, (T.ByteType, T.ShortType)):
+            c = c.cast("long")
+        elif not isinstance(
+            dtype, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
         ):
             c = c.cast("string")
         return [F.hll_sketch_estimate(F.hll_sketch_agg(c, F.lit(12)))]
@@ -242,17 +253,19 @@ def profile_columns(
         # by it — the safe direction, at ~n^2/2^64 probability.
         def _pval_sql(c: str) -> str:
             if c in hist_cols:
-                return f"cast(`{c}` as string)"
+                return f"cast({_ident(c)} as string)"
             return (
-                f"case when `{c}` is not null"
-                f" then cast(xxhash64(`{c}`) as string) end"
+                f"case when {_ident(c)} is not null"
+                f" then cast(xxhash64({_ident(c)}) as string) end"
             )
 
         # one `stack` generator built as a single SQL parse (the
         # equivalent explode(array(struct..)) Column chain costs ~40
-        # py4j round trips of driver time per profiling call)
+        # py4j round trips of driver time per profiling call); column
+        # names are escaped both as identifiers and as the literal
+        # labels (quotes/backslashes/backticks are legal in names)
         stack_args = ", ".join(
-            f"'{c}', {_pval_sql(c)}" for c in pass2_cols
+            f"'{_slit(c)}', {_pval_sql(c)}" for c in pass2_cols
         )
         pairs = df.selectExpr(
             f"stack({len(pass2_cols)}, {stack_args}) AS (_pcol, _pval)"

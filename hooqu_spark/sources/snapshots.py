@@ -87,29 +87,46 @@ class IcebergSnapshotSource:
             f"SELECT snapshot_id, parent_id, operation"
             f" FROM {self.table}.snapshots ORDER BY committed_at"
         ).collect()
-        # APPEND-ONLY CONTRACT: incremental reads only support append
-        # snapshots, and metric states are add-only monoids — a delete/
-        # overwrite/replace snapshot can neither be read as a delta nor
-        # subtracted from committed states.  Fail loudly instead of
-        # silently mis-counting.
-        bad = [
-            (str(r["snapshot_id"]), r["operation"])
-            for r in rows
-            if r["operation"] != "append"
-        ]
-        if bad:
-            raise ValueError(
-                f"IcebergSnapshotSource({self.table!r}) requires an "
-                f"append-only history (incremental reads + add-only metric "
-                f"states); found non-append snapshots: {bad[:5]}"
-            )
-        self._parents = {
-            str(r["snapshot_id"]): (
+        # APPEND-ONLY METRIC CONTRACT, handled per operation kind:
+        #
+        # * ``append`` — the normal delta read.
+        # * ``replace`` — compaction (rewrite_data_files etc.): row
+        #   content is unchanged, so it is a metric NO-OP; skipped
+        #   from the ingest list (raising here would brick every
+        #   table with routine maintenance).
+        # * ``overwrite``/``delete`` — rows were removed, which
+        #   add-only monoid states cannot subtract.  The history is
+        #   RE-BASELINED at the latest such snapshot: it is returned
+        #   as a full-state read (parent None -> VERSION AS OF) and
+        #   everything before it is dropped from the list.  For a
+        #   fresh run that is exactly right (states = table state at
+        #   the destructive snapshot + appends after it); a run that
+        #   already committed earlier snapshots would double-count,
+        #   so ``ingest_snapshots`` raises in that case.
+        self._parents = {}
+        out: List[str] = []
+        for r in rows:
+            sid = str(r["snapshot_id"])
+            op = r["operation"]
+            if op == "replace":
+                continue
+            if op != "append":
+                out.clear()
+                self._parents = {sid: None}  # full-state re-baseline
+                out.append(sid)
+                continue
+            self._parents[sid] = (
                 None if r["parent_id"] is None else str(r["parent_id"])
             )
-            for r in rows
-        }
-        return [str(r["snapshot_id"]) for r in rows]
+            out.append(sid)
+        return out
+
+    def is_full_state(self, snapshot_id: str) -> bool:
+        """True when ``read_snapshot`` would return the FULL table
+        state (history root or destructive-snapshot re-baseline)
+        rather than a delta — ``ingest_snapshots`` uses this to refuse
+        double-counting into an already-committed run."""
+        return self._parents.get(str(snapshot_id)) is None
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
         # "no parent" (first snapshot) and "parent not cached" must not
@@ -177,9 +194,25 @@ def ingest_snapshots(
     committed = set(repository.committed_buckets(run_id))
     new_ids: List[str] = []
     metrics = None
+    is_full_state = getattr(source, "is_full_state", lambda _s: False)
     for sid in source.snapshot_ids(spark):
         if str(sid) in committed:
             continue
+        if (committed or new_ids) and is_full_state(str(sid)):
+            # a destructive (overwrite/delete) snapshot re-baselined
+            # the source to a FULL-state read, but this run already
+            # committed earlier deltas — folding the full state in
+            # would double-count every previously-committed row, and
+            # add-only monoid states cannot subtract the rows the
+            # destructive snapshot removed.  Start a fresh run_id.
+            raise ValueError(
+                f"snapshot {sid!r} is a full-state re-baseline "
+                f"(destructive snapshot in the source history) but run "
+                f"{run_id!r} has already committed "
+                f"{len(committed) + len(new_ids)} snapshot(s); add-only "
+                f"metric states cannot reconcile this — restart under a "
+                f"new run_id"
+            )
         delta = source.read_snapshot(spark, str(sid)).withColumn(
             SNAPSHOT_COL, F.lit(str(sid))
         )

@@ -61,6 +61,30 @@ class TestProfileColumns:
         )["name"]
         assert p.histogram is None
 
+    def test_narrow_integral_types_profile(self, spark):
+        # hll_sketch_agg only accepts int/bigint/string/binary —
+        # tinyint/smallint columns must widen, not crash the fused scan
+        df = spark.createDataFrame(
+            [(i % 3, i % 5, i) for i in range(40)],
+            "b tinyint, s smallint, i int",
+        )
+        profiles = profile_columns(df)
+        assert profiles["b"].approx_distinct == 3
+        assert profiles["s"].approx_distinct == 5
+
+    def test_quoted_column_names_profile(self, spark):
+        # pass-2 builds SQL via stack(); names containing single
+        # quotes must be escaped both as identifiers and as the label
+        # literals.  (Backtick-containing names are rejected by
+        # F.col() itself across the analyzer layer — out of scope.)
+        df = spark.createDataFrame(
+            [("x", 1), ("y", 2), ("x", 3)],
+            ["it's a col", "n"],
+        )
+        profiles = profile_columns(df)
+        assert profiles["it's a col"].approx_distinct == 2
+        assert profiles["it's a col"].completeness == 1.0
+
 
 class TestNumericHistogram:
     def test_matches_numpy(self, spark):

@@ -104,12 +104,13 @@ class TestProtocolDispatch:
     def test_iceberg_availability_probe_does_not_raise(self, spark):
         assert iceberg_available(spark) in (True, False)
 
-    def test_iceberg_append_only_contract(self):
+    def test_iceberg_snapshot_operation_handling(self):
         # No Iceberg runtime in the sandbox: drive snapshot_ids through a
-        # fake session whose .sql returns canned metadata rows.  The
-        # append-only guard must reject delete/overwrite/replace
-        # histories (incremental reads + add-only monoid states cannot
-        # represent removals) and accept pure-append ones.
+        # fake session whose .sql returns canned metadata rows.  Per
+        # operation kind: append -> delta; replace (compaction, row
+        # content unchanged) -> skipped; overwrite/delete ->
+        # re-baseline at that snapshot (full-state read, history
+        # before it dropped).
         from hooqu_spark.sources.snapshots import IcebergSnapshotSource
 
         def fake_spark(rows):
@@ -132,12 +133,55 @@ class TestProtocolDispatch:
         )
         src = IcebergSnapshotSource("db.t")
         assert src.snapshot_ids(ok) == ["1", "2"]
+        assert src.is_full_state("1") and not src.is_full_state("2")
 
-        bad = fake_spark(
+        # routine compaction must NOT brick the table: the replace
+        # snapshot is skipped, the next append's delta range starts at
+        # its raw parent id (the replace snapshot itself)
+        compacted = fake_spark(
+            [
+                {"snapshot_id": 1, "parent_id": None, "operation": "append"},
+                {"snapshot_id": 2, "parent_id": 1, "operation": "replace"},
+                {"snapshot_id": 3, "parent_id": 2, "operation": "append"},
+            ]
+        )
+        src = IcebergSnapshotSource("db.t")
+        assert src.snapshot_ids(compacted) == ["1", "3"]
+        assert src._parents["3"] == "2"
+
+        # destructive snapshot -> re-baseline: list truncates to the
+        # overwrite (full-state) plus appends after it
+        rewritten = fake_spark(
             [
                 {"snapshot_id": 1, "parent_id": None, "operation": "append"},
                 {"snapshot_id": 2, "parent_id": 1, "operation": "overwrite"},
+                {"snapshot_id": 3, "parent_id": 2, "operation": "append"},
             ]
         )
-        with pytest.raises(ValueError, match="append-only"):
-            IcebergSnapshotSource("db.t").snapshot_ids(bad)
+        src = IcebergSnapshotSource("db.t")
+        assert src.snapshot_ids(rewritten) == ["2", "3"]
+        assert src.is_full_state("2") and not src.is_full_state("3")
+
+    def test_ingest_refuses_rebaseline_into_committed_run(self, spark, tmp_path):
+        # a full-state re-baseline appearing AFTER a run has committed
+        # deltas would double-count; ingest must raise, not mis-count
+        class RebaselineSource:
+            def snapshot_ids(self, _spark):
+                return ["b1", "rb"]
+
+            def is_full_state(self, sid):
+                return sid == "rb"
+
+            def read_snapshot(self, spark, sid):
+                return spark.range(3).selectExpr("id", "'x' AS text")
+
+        repo = StateRepository(str(tmp_path / "repo"))
+        src = RebaselineSource()
+        # b1 ingests, then rb is refused MID-CALL (before any
+        # double-counting happens)
+        with pytest.raises(ValueError, match="re-baseline"):
+            ingest_snapshots(spark, src, repo, "run1", [Size()])
+        assert repo.committed_buckets("run1") == ["b1"]
+        # retrying doesn't mis-count either: b1 skipped, rb refused
+        with pytest.raises(ValueError, match="re-baseline"):
+            ingest_snapshots(spark, src, repo, "run1", [Size()])

@@ -86,6 +86,27 @@ class TestAsofJoin:
         [row] = asof_join(left, right, ["k"]).collect()
         assert row.snap_asof == 42.0 and row.matched_ts_asof == base
 
+    def test_null_keys_never_match(self, spark):
+        base = datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, None, base + timedelta(hours=1)),
+             (2, 5, base + timedelta(hours=1)),
+             (3, 5, None)],
+            "event_id long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(None, base, 99.0), (5, base, 7.0), (5, None, 13.0)],
+            "k long, ts timestamp, snap double",
+        )
+        got = {
+            r.event_id: r.snap_asof
+            for r in asof_join(left, right, ["k"]).collect()
+        }
+        # NULL-key left row: kept, payload NULL (never enriched from
+        # the NULL-key right row); NULL-ts left row: kept, NULL; the
+        # NULL-ts right row never matches
+        assert got == {1: None, 2: 7.0, 3: None}
+
     def test_plan_is_one_shuffle_no_join_node(self, frames):
         left, right, _, _ = frames
         p = asof_join(left, right, ["k"])._jdf.queryExecution().executedPlan().toString()
