@@ -41,6 +41,7 @@ from .similarity import (
     lsh_bucketed_topk,
 )
 from .skew import (
+    cap_per_key,
     salted_agg,
     salted_counts,
     salted_distinct_counts,
@@ -70,6 +71,7 @@ from .text import (
 __all__ = [
     "asof_join",
     "brute_force_topk",
+    "cap_per_key",
     "cosine_similar_pairs",
     "canonicalize_urls",
     "cosine_scores",

@@ -28,10 +28,11 @@ interval unions), so the shuffle carries merged spans, not raw
 events.  A pathological hot user (bot traffic) concentrates on one
 reducer — sessionization cannot be salted the way counting can
 (sessions need a user's full timeline contiguous), so the mitigation
-at scale is upstream: cap events per user per day (bot filtering)
-before sessionizing, or pre-aggregate with a coarse time-bucket
-pre-session pass.  Both are standard; the hot-user bound is
-documented rather than hidden.
+at scale is upstream: cap events per user per day (bot filtering —
+:func:`hooqu_spark.ops.cap_per_key` is the skew-safe cap) before
+sessionizing, or pre-aggregate with a coarse time-bucket pre-session
+pass.  Both are standard; the hot-user bound is documented rather
+than hidden.
 """
 
 from __future__ import annotations

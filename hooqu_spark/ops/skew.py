@@ -152,3 +152,51 @@ def top_hot_keys(
         .orderBy(F.desc("count"), *list(keys))
         .limit(k)
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    n: int,
+    order_cols: Sequence[str],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key — the FIRST ``n`` in
+    ``order_cols`` order — skew-safely.
+
+    This is the standard bot/hot-host mitigation a web-scale corpus
+    applies BEFORE per-key timeline work (sessionization, as-of
+    enrichment, per-host stats): cap documents per domain, events per
+    user per day, pages per crawl host.
+
+    A plain ``row_number() over (partition by key)`` funnels the hot
+    key's ENTIRE traffic through one reducer before discarding all but
+    n rows.  This runs the classic two-phase top-n instead::
+
+        phase 1:  window over (key, salt)  — each of n_salts reducers
+                  keeps its n smallest, bounding any key at n*n_salts
+        phase 2:  window over (key)        — exact n smallest of the
+                  survivors
+
+    The result is EXACT (phase 1 can only drop rows ranked > n within
+    their salt bucket, which are rank > n globally too) and the hot
+    key's reducer input shrinks from its full row count to
+    ``n * n_salts``.  Determinism requires ``order_cols`` to be
+    key-unique (add a tiebreaker id column if not — same contract as
+    any top-n).
+    """
+    keys, order_cols = list(keys), list(order_cols)
+    from pyspark.sql import Window
+
+    order = [F.col(c).asc() for c in order_cols]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
+    w1 = Window.partitionBy(*keys, "_cap_salt").orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_cap_salt", salt)
+        .withColumn("_cap_r1", F.row_number().over(w1))
+        .where(F.col("_cap_r1") <= n)
+        .withColumn("_cap_r2", F.row_number().over(w2))
+        .where(F.col("_cap_r2") <= n)
+        .drop("_cap_salt", "_cap_r1", "_cap_r2")
+    )

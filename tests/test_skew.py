@@ -213,6 +213,47 @@ class TestSaltedAgg:
         assert len(rows) == 3
 
 
+class TestCapPerKey:
+    def test_exact_vs_plain_window(self, spark):
+        import random
+
+        from pyspark.sql import Window
+
+        from hooqu_spark.ops import cap_per_key
+
+        rng = random.Random(11)
+        rows = [
+            (f"h{rng.randrange(5)}", rng.randrange(10_000), float(i))
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "host string, doc_id long, v double")
+        capped = cap_per_key(df, ["host"], 7, ["doc_id"], n_salts=8)
+        got = sorted((r.host, r.doc_id) for r in capped.collect())
+        # independent plain single-window reference
+        w = Window.partitionBy("host").orderBy("doc_id")
+        want = sorted(
+            (r.host, r.doc_id)
+            for r in df.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= 7)
+            .collect()
+        )
+        assert got == want
+
+    def test_hot_key_capped_other_columns_kept(self, skewed):
+        from hooqu_spark.ops import cap_per_key
+
+        capped = cap_per_key(skewed, ["host"], 10, ["v"])
+        per_key = {
+            r.host: r.n
+            for r in capped.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert per_key["hot.example"] == 10
+        assert all(v <= 10 for v in per_key.values())
+        assert set(capped.columns) == set(skewed.columns)  # no temp cols
+
+
 class TestTokenBudgetSampling:
     @pytest.fixture(scope="class")
     def docs_with_tokens(self, spark):
