@@ -126,6 +126,18 @@ class TestBroadcastAndShuffle:
         out = flag_contamination(documents, bench, "doc_id")
         assert "BroadcastHashJoin" in plan_str(out)
 
+    def test_cap_per_key_two_phase_shuffles(self, documents):
+        from hooqu_spark.ops import cap_per_key
+
+        p = plan_str(cap_per_key(documents, ["lang"], 5, ["doc_id"]))
+        # phase 1 shuffles on (key, salt) — the hot key spread across
+        # salts — phase 2 on the key alone over the n*n_salts survivors
+        assert p.count("Exchange hashpartitioning") == 2
+        first, second = p.split("Exchange hashpartitioning")[1:3]
+        # plan prints top-down: the key-only window is listed first
+        assert "_cap_salt" not in first[:80]
+        assert "_cap_salt" in second[:80]
+
     def test_sessionize_one_user_shuffle_with_partial_merge(self, spark):
         from hooqu_spark.ops import session_stats, sessionize
 
