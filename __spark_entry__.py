@@ -457,6 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gaps-and-islands replay uses a STRICT `> gap` island break).
         # Timestamps exported as formatted strings: engine-portable
         # (pandas datetime64[ns] vs [us] would dtype-mismatch).
+        # date_format renders in spark.sql.session.timeZone, while the
+        # DuckDB oracle's strftime prints the parquet UTC wall time —
+        # pin UTC so the contract holds on non-UTC driver hosts too.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from hooqu_spark.ops import sessionize
 
         df = _t(spark, sf_dir, "events")
@@ -499,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # implementations cross-verified value-for-value.  Right side
         # pre-deduped per (user, ts): equal-ts rows are ambiguous in
         # any as-of engine.
+        # Pin UTC: date_format renders in the session timezone; the
+        # oracle prints the parquet UTC wall time (see sessions_query).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from hooqu_spark.ops import asof_join
 
         ev = _t(spark, sf_dir, "events").where(

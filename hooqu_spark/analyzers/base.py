@@ -19,6 +19,7 @@ execution in ``hooqu/analyzers/analyzer.py:249-261``):
 
 from __future__ import annotations
 
+import threading
 import traceback
 from abc import ABC, abstractmethod
 from collections import OrderedDict
@@ -203,6 +204,11 @@ def sql_str_lit(s: str) -> str:
 
 _EXPR_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
 _EXPR_CACHE_MAX = 512
+# StreamingVerification's foreachBatch runs cached_aggregation_exprs on
+# a streaming thread concurrently with driver-thread profiling; the LRU
+# bookkeeping (move_to_end / popitem) is not atomic, so guard it.  The
+# lock cost is nanoseconds against the py4j round trips being saved.
+_EXPR_CACHE_LOCK = threading.Lock()
 
 
 def _schema_fingerprint(df: DataFrame) -> tuple:
@@ -235,18 +241,20 @@ def _expr_cache_get(kind: str, analyzer: "Analyzer", df: DataFrame):
         hash(key)
     except TypeError:  # unhashable identity component -> no caching
         return None, None
-    hit = _EXPR_CACHE.get(key)
-    if hit is not None:
-        _EXPR_CACHE.move_to_end(key)
+    with _EXPR_CACHE_LOCK:
+        hit = _EXPR_CACHE.get(key)
+        if hit is not None:
+            _EXPR_CACHE.move_to_end(key)
     return key, hit
 
 
 def _expr_cache_put(key: tuple, value) -> None:
     if key is None:
         return
-    _EXPR_CACHE[key] = value
-    while len(_EXPR_CACHE) > _EXPR_CACHE_MAX:
-        _EXPR_CACHE.popitem(last=False)
+    with _EXPR_CACHE_LOCK:
+        _EXPR_CACHE[key] = value
+        while len(_EXPR_CACHE) > _EXPR_CACHE_MAX:
+            _EXPR_CACHE.popitem(last=False)
 
 
 # ---------------------------------------------------------------------------

@@ -125,10 +125,9 @@ def streaming_sessions(
         )
         .withWatermark(ts_col, watermark)
         .groupBy(F.col(user_col), sw.alias("_sw"))
-        .agg(
-            F.min(ts_col).alias("session_start_event"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+        # _sw.start already carries the first-event timestamp; a
+        # min(ts) aggregate here would be dead per-session state.
+        .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             user_col,
             F.col("_sw.start").alias("session_start"),

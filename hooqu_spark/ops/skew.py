@@ -27,18 +27,17 @@ _SALT = "_hooqu_salt"
 
 
 def _salt_col(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic per-row salt in [0, n_salts): xxhash64 over all
-    columns PLUS ``monotonically_increasing_id`` (partition id + row
-    offset).  The row-position term is what actually splits hot keys
-    when rows repeat verbatim — common for hot keys in web corpora —
-    while staying deterministic for a fixed input partitioning (task
-    retries re-derive the same ids)."""
-    return F.pmod(
-        F.xxhash64(
-            *[F.col(c) for c in df.columns], F.monotonically_increasing_id()
-        ),
-        F.lit(n_salts),
-    )
+    """Deterministic per-row salt in [0, n_salts):
+    ``xxhash64(monotonically_increasing_id)`` — partition id + row
+    offset.  Row position alone is what splits hot keys (including
+    rows repeated verbatim, common for hot keys in web corpora) while
+    staying deterministic for a fixed input partitioning (task retries
+    re-derive the same ids).  Deliberately does NOT hash the payload
+    columns: on a documents table that would feed the full text (or a
+    binary column) through the hash per row purely to derive a salt —
+    wasted CPU at 100 TB, and it adds nothing the row position doesn't
+    already provide."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
 
 
 def salted_agg(
@@ -54,14 +53,14 @@ def salted_agg(
     ``merge_expr`` combines the per-salt partials by the SAME name
     (phase 2), e.g. ``{"n": (F.count(F.lit(1)), F.sum("n"))}``.
 
-    ``F.rand``-free: the salt is ``pmod(xxhash64(all columns…,
-    partition_id, row_offset), n)`` — deterministic per row for a fixed
-    input partitioning, so retried tasks salt identically (required for
-    exactly-once under speculative execution).  The per-row
-    disambiguator (``monotonically_increasing_id`` already encodes the
-    partition id) matters because web corpora repeat hot rows verbatim:
-    salting on column values alone would land every copy of a duplicated
-    hot row on ONE salt, defeating the split this module exists for.
+    ``F.rand``-free: the salt is ``pmod(xxhash64(partition_id +
+    row_offset), n)`` — deterministic per row for a fixed input
+    partitioning, so retried tasks salt identically (required for
+    exactly-once under speculative execution).  Salting on row
+    POSITION rather than column values matters because web corpora
+    repeat hot rows verbatim: a value-derived salt would land every
+    copy of a duplicated hot row on ONE salt, defeating the split this
+    module exists for.
     """
     keys = list(keys)
     salt = _salt_col(df, n_salts)

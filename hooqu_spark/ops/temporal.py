@@ -38,10 +38,31 @@ cross-verifies two INDEPENDENT as-of implementations.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# One or more "<number> <unit>" terms, e.g. "2 hours", "1 day 12 hours".
+# Validated at the API boundary so a malformed caller string fails with
+# a clear ValueError instead of surfacing as a Catalyst parse error (or,
+# worse, silently concatenating into the INTERVAL literal).
+_INTERVAL_RE = re.compile(
+    r"^\s*(?:\d+(?:\.\d+)?\s+"
+    r"(?:microsecond|millisecond|second|minute|hour|day|week|month|year)s?"
+    r"\s*)+$",
+    re.IGNORECASE,
+)
+
+
+def _validate_interval(tolerance: str) -> str:
+    if not isinstance(tolerance, str) or not _INTERVAL_RE.match(tolerance):
+        raise ValueError(
+            f"tolerance must be an INTERVAL string like '2 hours' or "
+            f"'1 day 30 minutes', got: {tolerance!r}"
+        )
+    return tolerance
 
 
 def asof_join(
@@ -79,6 +100,8 @@ def asof_join(
     row), NULL-ts right rows are dropped.
     """
     on = list(on)
+    if tolerance is not None:
+        tolerance = _validate_interval(tolerance)
     rts = right_ts_col or ts_col
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in on and c != rts]

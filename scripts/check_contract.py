@@ -49,6 +49,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # timestamp-exporting queries render via date_format, which
+        # reads the session timezone; the oracle prints parquet UTC
+        # wall time — pin UTC so local verification matches the driver
+        # on any host timezone
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -164,18 +164,26 @@ class TestSaltedAgg:
         hot = out.where(F.col("host") == "hot.example").first()
         assert hot["c"] == 800
         # ...and phase 1 genuinely used several salts for the hot key
-        from hooqu_spark.ops.skew import _SALT
+        from hooqu_spark.ops.skew import _SALT, _salt_col
 
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8)
-        )
         n_groups = (
             skewed.where(F.col("host") == "hot.example")
-            .select(salt.alias(_SALT))
+            .select(_salt_col(skewed, 8).alias(_SALT))
             .distinct()
             .count()
         )
         assert n_groups >= 4
+
+    def test_salt_does_not_scan_payload_columns(self, skewed):
+        # the salt derives from row position only — hashing payload
+        # columns (full document text, binary media) per row purely to
+        # derive a salt is wasted CPU at 100 TB scale
+        from hooqu_spark.ops.skew import _salt_col
+
+        expr = _salt_col(skewed, 8)._jc.toString()
+        for c in skewed.columns:
+            assert c not in expr
+        assert "monotonically_increasing_id" in expr
 
     def test_deterministic_salt(self, skewed):
         a = sorted(

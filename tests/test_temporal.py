@@ -107,6 +107,20 @@ class TestAsofJoin:
         # NULL-ts right row never matches
         assert got == {1: None, 2: 7.0, 3: None}
 
+    def test_malformed_tolerance_rejected_at_api_boundary(self, frames):
+        import pytest
+
+        left, right, _, _ = frames
+        for bad in ("2 fortnights", "hours 2", "2h", "", "2 hours; DROP",
+                    "2 hours OR 1=1", 7):
+            with pytest.raises(ValueError):
+                asof_join(left, right, ["k"], tolerance=bad)
+
+    def test_compound_tolerance_accepted(self, frames):
+        left, right, _, _ = frames
+        # valid grammar incl. multi-term intervals parses and runs
+        asof_join(left, right, ["k"], tolerance="1 day 30 minutes").collect()
+
     def test_plan_is_one_shuffle_no_join_node(self, frames):
         left, right, _, _ = frames
         p = asof_join(left, right, ["k"])._jdf.queryExecution().executedPlan().toString()
