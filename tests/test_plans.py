@@ -277,9 +277,11 @@ class TestPlansSurviveAQE:
 
 
 class TestNewOpsSurviveAQE:
-    """Round-4 additions to the AQE suite: the two-phase shape of the
-    salted distinct count and the IVF probe's file-level partition
-    pruning must survive adaptive re-planning."""
+    """Round-4/5 additions to the AQE suite: the two-phase shape of
+    the salted distinct count, the IVF probe's file-level partition
+    pruning, session_stats' single user-keyed exchange, and
+    asof_join's no-join single-exchange shape must survive adaptive
+    re-planning."""
 
     @pytest.fixture()
     def aqe(self, spark):
@@ -321,6 +323,39 @@ class TestNewOpsSurviveAQE:
             .collect()
         }
         assert got == want
+
+    def test_session_stats_one_exchange_survives_aqe(self, aqe):
+        from hooqu_spark.ops import session_stats
+
+        events = aqe.read.parquet(f"{SF_DIR}/events.parquet")
+        out = session_stats(events)
+        p = TestPlansSurviveAQE.final_plan(out)
+        assert "isFinalPlan=true" in p
+        # the per-user rollup reuses hashpartitioning(user_id) from
+        # the session-window aggregate: AQE may coalesce partitions
+        # but must not introduce a second exchange
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "user_id" in p.split("Exchange hashpartitioning", 1)[1][:60]
+        assert "MergingSessions" in p
+
+    def test_asof_join_no_join_node_survives_aqe(self, aqe):
+        from hooqu_spark.ops import asof_join
+
+        events = aqe.read.parquet(f"{SF_DIR}/events.parquet")
+        left = events.select("user_id", "ts", "event_type")
+        # raw right side (no dedup aggregate): isolates the exchanges
+        # the as-of op itself introduces
+        right = events.select("user_id", "ts", F.col("value").alias("v"))
+        out = asof_join(left, right, ["user_id"], ts_col="ts")
+        p = TestPlansSurviveAQE.final_plan(out)
+        assert "isFinalPlan=true" in p
+        # union-window form: the as-of enrichment is a union + one
+        # key-shuffled window — there is NO join node for AQE to
+        # re-plan into a broadcast or (worse) leave unkeyed
+        assert "Join" not in p
+        assert "CartesianProduct" not in p
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "user_id" in p.split("Exchange hashpartitioning", 1)[1][:60]
 
     def test_ivf_probe_partition_filter_survives_aqe(
         self, aqe, tmp_path
