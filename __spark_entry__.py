@@ -395,11 +395,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def salted_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Skew-safe two-phase groupBy (hot keys split across salts,
         # partial counts merged); must equal the plain GROUP BY.
-        from hooqu_spark.ops import salted_counts
+        # FUSED (round 5): also grades cap_per_key — the skew-safe
+        # two-phase top-n — by aggregating its survivors (count +
+        # distinct users among the first 400 events per type by
+        # event_id).  The oracle replays the cap as a plain
+        # row_number() window; fusing keeps the contract within the
+        # driver's 50-query grading cap.
+        from hooqu_spark.ops import cap_per_key, salted_counts
 
         df = _t(spark, sf_dir, "events")
-        return salted_counts(df, ["event_type"], n_salts=16).select(
-            "event_type", F.col("count").alias("n")
+        counts = salted_counts(df, ["event_type"], n_salts=16)
+        capped = (
+            cap_per_key(df, ["event_type"], 400, ["event_id"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("capped_n"),
+                F.count_distinct("user_id").alias("capped_users"),
+            )
+        )
+        return counts.join(capped, "event_type").select(
+            "event_type",
+            F.col("count").alias("n"),
+            "capped_n",
+            "capped_users",
         )
 
     def salted_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,16 +458,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return enrich(df).select("doc_id", "lang_pred", "lang_score")
 
     def near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # LSH-bucketed embedding near-duplicate pairs (deterministic
-        # seeded planes; approximate recall) -> rows-only check.
+        # LSH-bucketed embedding near-duplicate pairs.  Round 5: the
+        # md5-derived ±1 hyperplanes + fixed-order Catalyst projection
+        # sums (lsh_bucket_expr) make the bucketing bit-replayable in
+        # DuckDB, so this is now fully hash-graded; cosine rounded to
+        # 6 BEFORE thresholding (cross-engine borderline stability,
+        # same contract as cosine_pairs_embeddings).
         from hooqu_spark.ops import embedding_near_duplicates
 
         emb = _t(spark, sf_dir, "embeddings").withColumn(
             "e", F.col("embedding").cast("array<double>")
         )
         return embedding_near_duplicates(
-            emb, id_col="vec_id", vec_col="e", threshold=0.3, n_planes=3
-        ).select("id_a", "id_b")
+            emb,
+            id_col="vec_id",
+            vec_col="e",
+            threshold=0.3,
+            n_planes=3,
+            round_to=6,
+        ).select("id_a", "id_b", "cosine")
 
     def sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Native session-window sessionization (ONE shuffle on the
@@ -866,6 +893,26 @@ def oracle_sql() -> dict[str, str]:
         " ('0x' || substr(md5(s),1,8))::UBIGINT) AS h FROM d),"
         f" sig AS (SELECT doc_id, [{sig_items}] AS sg FROM hh)"
     )
+    # Sign-LSH bucket replay for near_dup_pairs_embeddings: md5-derived
+    # ±1 planes (hooqu_spark.ops.similarity._projection_planes, 64-dim
+    # embeddings, 3 planes, seed 13), each projection an explicitly
+    # parenthesized left-associated sum — the exact IEEE-double
+    # addition order lsh_bucket_expr emits, so the bucket signs agree
+    # bit-for-bit (x * ±1.0 is exact).
+    from hooqu_spark.ops.similarity import _projection_planes
+
+    _pl = _projection_planes(64, 3, seed=13)
+
+    def _lsh_dot(j: int) -> str:
+        expr = f"(e[1] * {_pl[0, j]:.1f})"
+        for i in range(1, 64):
+            expr = f"({expr} + (e[{i + 1}] * {_pl[i, j]:.1f}))"
+        return expr
+
+    lsh_bucket_sql = " + ".join(
+        f"(CASE WHEN {_lsh_dot(j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(3)
+    )
     # LSH banding: Spark buckets on xxhash64 of each 4-component slice;
     # slice-hash equality == slice equality (modulo a ~2^-64 collision),
     # so the oracle compares the slices directly.
@@ -1225,7 +1272,20 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY lang"
         ),
         "salted_counts_events_type": (
-            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            # plain GROUP BY + a row_number() replay of the two-phase
+            # skew-safe cap (first 400 events per type by event_id)
+            "WITH capped AS ("
+            " SELECT event_type, user_id FROM ("
+            "  SELECT event_type, user_id, row_number() OVER"
+            "   (PARTITION BY event_type ORDER BY event_id) AS rn"
+            "  FROM events) WHERE rn <= 400)"
+            " SELECT t.event_type, t.n, c.capped_n, c.capped_users"
+            " FROM (SELECT event_type, count(*) AS n FROM events"
+            "       GROUP BY event_type) t"
+            " JOIN (SELECT event_type, count(*) AS capped_n,"
+            "       count(DISTINCT user_id) AS capped_users"
+            "       FROM capped GROUP BY event_type) c"
+            " USING (event_type)"
         ),
         "salted_distinct_events_user": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)"
@@ -1420,9 +1480,18 @@ def oracle_sql() -> dict[str, str]:
             " THEN up - 18446744073709551616::HUGEINT ELSE up END"
             " AS BIGINT) AS fp_prefix FROM h"
         ),
+        "near_dup_pairs_embeddings": (
+            "WITH be AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+            " FROM embeddings),"
+            f" bk AS (SELECT vec_id, e, ({lsh_bucket_sql}) AS bucket"
+            " FROM be)"
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            " round(list_cosine_similarity(a.e, b.e), 6) AS cosine"
+            " FROM bk a JOIN bk b"
+            " ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+            " WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3"
+        ),
         # Rows-only (genuinely un-oracle-able in DuckDB):
         # fingerprints_documents (xxhash64 absent from DuckDB 1.0; the
-        # md5 mode above hash-verifies the same construction),
-        # near_dup_pairs_embeddings (seeded LSH hyperplanes; its exact
-        # cosine math is hash-verified by cosine_pairs_embeddings).
+        # md5 mode above hash-verifies the same construction).
     }

@@ -65,8 +65,49 @@ def brute_force_topk(
 
 
 def _projection_planes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((dim, n_planes))
+    """Deterministic Rademacher (±1) hyperplanes derived from md5 over
+    ``(seed, plane, component)`` — engine-portable: integer-exact
+    coefficients let any SQL engine replay the sign projection
+    bit-for-bit (the numpy-Gaussian construction this replaces could
+    not be replayed — BLAS sums in unspecified order over irrational
+    literals).  Sign-random projections with ±1 entries carry the same
+    cosine-LSH guarantee as Gaussian ones (Charikar '02 simhash
+    argument); same derivation pattern as
+    :func:`hooqu_spark.ops.dedup._minhash_params`."""
+    import hashlib
+
+    out = np.empty((dim, n_planes), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()
+            out[i, j] = 1.0 if (h[0] & 1) else -1.0
+    return out
+
+
+def lsh_bucket_expr(
+    vec_col: str, dim: int, n_planes: int, seed: int = 13
+) -> F.Column:
+    """Pure-Catalyst sign-LSH bucket id: for each ±1 hyperplane the
+    projection is an EXPLICIT left-associated sum
+    ``((e[1]*p1 + e[2]*p2) + e[3]*p3) + …`` — a fixed IEEE-double
+    addition order any engine reproduces exactly (``x * ±1.0`` is
+    exact), so the bucket assignment is bit-for-bit replayable in the
+    DuckDB oracle.  Stays inside whole-stage codegen: no Python, no
+    Arrow transfer, unlike :func:`lsh_bucket_udf`."""
+    planes = _projection_planes(dim, n_planes, seed)
+    total = None
+    for j in range(n_planes):
+        dot = None
+        for i in range(dim):
+            term = F.element_at(F.col(vec_col), i + 1) * F.lit(
+                float(planes[i, j])
+            )
+            dot = term if dot is None else dot + term
+        bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        total = bit if total is None else total + bit
+    return total
 
 
 def lsh_bucket_udf(dim: int, n_planes: int, seed: int = 13):
@@ -438,14 +479,30 @@ def embedding_near_duplicates(
     threshold: float = 0.98,
     n_planes: int = 10,
     seed: int = 13,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed: exact
     cosine is verified only within buckets (JVM-side arithmetic on the
-    normalized vectors via zip_with/aggregate)."""
+    normalized vectors via zip_with/aggregate).
+
+    Bucketing uses the md5-derived ±1 planes via
+    :func:`lsh_bucket_expr` — pure Catalyst with a fixed addition
+    order, so the whole operator (buckets AND verify) is replayable by
+    the DuckDB oracle.  Very wide codegen (dim*n_planes > 8192 terms)
+    falls back to the Arrow UDF bucketer, which computes the same
+    planes with numpy's summation order (sign differences possible
+    only at |projection| ~ 1e-15).  ``round_to`` rounds the cosine
+    BEFORE thresholding (cross-engine borderline stability — the
+    driver contract uses 6), same contract as
+    :func:`cosine_similar_pairs`."""
     dim = len(df.select(vec_col).first()[0])
-    bucketed = df.withColumn(
-        "_bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col))
-    ).select(id_col, vec_col, "_bucket")
+    if dim * n_planes <= 8192:
+        bucket = lsh_bucket_expr(vec_col, dim, n_planes, seed)
+    else:
+        bucket = lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col))
+    bucketed = df.withColumn("_bucket", bucket).select(
+        id_col, vec_col, "_bucket"
+    )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     dot = F.aggregate(
         F.zip_with(
@@ -464,6 +521,8 @@ def embedding_near_duplicates(
     # Same zero-norm guard as cosine_similar_pairs (shared arithmetic
     # contract): degenerate vectors yield NULL, never DIVIDE_BY_ZERO.
     cosine = F.try_divide(dot, norm("l") * norm("r"))
+    if round_to is not None:
+        cosine = F.round(cosine, round_to)
     return (
         l.join(
             r,
