@@ -875,7 +875,7 @@ def repeated_span_dedup(
     id_col: str,
     text_col: str = "text",
     span_tokens: int = 8,
-    mode: str = "tile",
+    mode: str = "cdc",
     cdc_divisor: int = 8,
 ) -> DataFrame:
     """Substring-level exact dedup (Lee et al., "Deduplicating Training
@@ -891,13 +891,20 @@ def repeated_span_dedup(
     memory distributed equivalent; this is the Spark-native span
     approximation:
 
+    * ``mode="cdc"`` (DEFAULT): content-defined chunking — boundaries
+      where the token's 32-bit md5 hash ≡ 0 (mod ``cdc_divisor``).
+      Chunking is offset-independent, so a duplicated passage shifted
+      by ANY number of tokens still dedups (tested with a 3-token
+      shift); costs one extra shuffle on the doc id.  The default
+      because shifted boilerplate is the common case in web corpora.
     * ``mode="tile"``: consecutive non-overlapping ``span_tokens``-token
       tiles.  Cheapest (no per-token shuffle), but a duplicate shifted
-      by <k tokens tiles differently and is missed.
-    * ``mode="cdc"``: content-defined chunking — boundaries where the
-      token's 32-bit md5 hash ≡ 0 (mod ``cdc_divisor``).  Chunking is
-      offset-independent, so shifted copies still dedup; costs one
-      extra shuffle on the doc id.
+      by <k tokens tiles differently and is missed — opt in only when
+      duplicates are known to be whole-document-aligned.  (An
+      overlapping-tile variant with stride s would only catch shifts
+      that are multiples of s — it cannot close this gap short of
+      stride 1, which is k-gram shingling at k× the shuffle volume —
+      so offset-independent CDC is the shift-robust path.)
 
     Scale: the only content shuffle is ONE groupBy on the span string
     with a map-side ``min(struct(id, idx))`` combine — a hot boilerplate

@@ -701,7 +701,7 @@ class TestRepeatedSpanDedup:
             got = {
                 r.id: r.text
                 for r in repeated_span_dedup(
-                    span_docs, "id", span_tokens=k
+                    span_docs, "id", span_tokens=k, mode="tile"
                 ).collect()
             }
             assert got == self._reference(rows, k), f"k={k}"
@@ -712,7 +712,7 @@ class TestRepeatedSpanDedup:
         out = {
             r.id: r.text
             for r in repeated_span_dedup(
-                span_docs, "id", span_tokens=4
+                span_docs, "id", span_tokens=4, mode="tile"
             ).collect()
         }
         boiler = "all rights reserved contact us terms of service apply"
@@ -730,7 +730,7 @@ class TestRepeatedSpanDedup:
         df = spark.createDataFrame(
             [(0, "a b c d a b c d a b c d")], "id long, text string"
         )
-        out = repeated_span_dedup(df, "id", span_tokens=4).collect()
+        out = repeated_span_dedup(df, "id", span_tokens=4, mode="tile").collect()
         assert out[0].text == "a b c d"
 
     def test_cdc_mode_shift_robust(self, spark):
@@ -780,6 +780,37 @@ class TestRepeatedSpanDedup:
         }
         for i, text in rows:
             assert out[i] == " ".join(text.split())
+
+    def test_default_mode_dedups_three_token_shifted_duplicate(
+        self, spark
+    ):
+        """The DEFAULT mode must catch a duplicated paragraph shifted
+        by a handful of tokens — the round-4 gap: tile mode misses any
+        shift < span_tokens, so the default is now CDC, whose
+        content-defined boundaries are offset-independent."""
+        from hooqu_spark.ops import repeated_span_dedup
+
+        passage = (
+            "the quarterly report shows revenue growth across every "
+            "region with particularly strong performance in cloud "
+            "services offsetting a decline in legacy hardware sales "
+            "while operating margins expanded for the sixth consecutive "
+            "quarter according to the chief financial officer"
+        )
+        df = spark.createDataFrame(
+            [(0, passage), (1, "breaking news today " + passage)],
+            "id long, text string",
+        )
+        out = {
+            r.id: r.text
+            for r in repeated_span_dedup(df, "id").collect()
+        }
+        # first occurrence intact; the 3-token-shifted copy loses the
+        # duplicated passage body (only the junk head and at most one
+        # boundary-straddling chunk survive)
+        assert out[0] == " ".join(passage.split())
+        assert out[1].startswith("breaking news today")
+        assert len(out[1].split()) < 3 + len(passage.split()) // 2
 
     def test_bad_mode_raises(self, spark, span_docs):
         from hooqu_spark.ops import repeated_span_dedup
