@@ -638,12 +638,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("media_meta.format").alias("format"),
         )
 
-    def fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # xxhash64 fingerprints are JVM-specific -> rows-only check.
-        from hooqu_spark.ops import document_fingerprints
+    def semdedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # SemDeDup-style semantic dedup, graded in its exhaustive
+        # exact configuration (n_clusters=1: one block, recall 1.0 —
+        # the ivf_topk full-probe pattern); the oracle replays the
+        # cosine pairs + recursive min-id closure.  Clustered-blocking
+        # recall and the centroid_far survivor policy are pytest-
+        # covered (tests/test_ops.py::TestSemanticDedup).
+        from hooqu_spark.ops import semantic_dedup
 
-        df = _t(spark, sf_dir, "documents")
-        return document_fingerprints(df).select("doc_id", "fp_exact", "fp_prefix")
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "e", F.col("embedding").cast("array<double>")
+        )
+        return semantic_dedup(
+            emb,
+            id_col="vec_id",
+            vec_col="e",
+            n_clusters=1,
+            threshold=0.4,
+            round_to=6,
+        ).select("vec_id")
 
     def fingerprints_md5_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Engine-portable fingerprint mode: 64 bits from the first 16
@@ -841,7 +855,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_documents": simhash_dedup_query,
         "cosine_pairs_embeddings": cosine_pairs_query,
         "media_metadata_documents": media_metadata_query,
-        "fingerprints_documents": fingerprints_query,
+        # round 5: the rows-only xxhash64 fingerprint twin left the
+        # contract (its construction stays hash-verified via the md5
+        # mode below and pytest-covered for xxhash64) to free the slot
+        # for semdedup_embeddings — every graded query now has a full
+        # value-hash oracle.
+        "semdedup_embeddings": semdedup_query,
         "fingerprints_md5_documents": fingerprints_md5_query,
         "ngram_jaccard_dedup_documents": ngram_jaccard_query,
         "jaccard_pairs_documents": jaccard_pairs_query,
@@ -1491,7 +1510,27 @@ def oracle_sql() -> dict[str, str]:
             " ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
             " WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3"
         ),
-        # Rows-only (genuinely un-oracle-able in DuckDB):
-        # fingerprints_documents (xxhash64 absent from DuckDB 1.0; the
-        # md5 mode above hash-verifies the same construction).
+        "semdedup_embeddings": (
+            # exhaustive-mode SemDeDup: cosine pairs at the rounded
+            # threshold, then a recursive reachability closure — the
+            # same min-id survivor rule as the minhash cluster oracle
+            "WITH RECURSIVE pr AS ("
+            " SELECT a.vec_id AS ia, b.vec_id AS ib"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],"
+            " b.embedding::DOUBLE[]), 6) >= 0.4),"
+            " e AS (SELECT ia AS u, ib AS v FROM pr"
+            " UNION SELECT ib, ia FROM pr),"
+            " reach(u, v) AS (SELECT u, v FROM e"
+            " UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u"
+            " WHERE e.v <> r.u),"
+            " lo AS (SELECT u AS ib FROM reach GROUP BY u"
+            " HAVING min(v) < u)"
+            " SELECT vec_id FROM embeddings"
+            " WHERE vec_id NOT IN (SELECT ib FROM lo)"
+        ),
+        # Every graded query above has a full value-hash oracle (the
+        # round-4 rows-only xxhash64 fingerprint twin was retired in
+        # favor of semdedup_embeddings; xxhash64 mode stays
+        # pytest-covered).
     }

@@ -39,6 +39,8 @@ from .similarity import (
     ivf_probe_index,
     ivf_topk,
     lsh_bucketed_topk,
+    semantic_dedup,
+    semantic_duplicate_pairs,
 )
 from .skew import (
     cap_per_key,
@@ -104,6 +106,8 @@ __all__ = [
     "salted_counts",
     "salted_numeric_summary",
     "sample_to_token_budget",
+    "semantic_dedup",
+    "semantic_duplicate_pairs",
     "session_stats",
     "sessionize",
     "simhash_dedup",

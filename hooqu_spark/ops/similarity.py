@@ -222,6 +222,9 @@ def _train_centroids(
     mat = np.asarray([r[1] for r in sample], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
+    # small-table fallback: clamp k to the sample size (same contract
+    # as _train_centroids_distributed)
+    n_centroids = min(n_centroids, len(mat))
     centroids = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
     for _ in range(n_iters):
         sims = mat @ centroids.T  # cosine on normalized vectors
@@ -536,3 +539,206 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cluster) dedup — SemDeDup
+# ---------------------------------------------------------------------------
+
+def pairwise_cosine(vec_a: F.Column, vec_b: F.Column) -> F.Column:
+    """JVM-side cosine between two array<double> columns — the shared
+    arithmetic contract of :func:`cosine_similar_pairs` /
+    :func:`embedding_near_duplicates` (zip_with/aggregate sequential
+    sums, ``try_divide`` so a zero-norm vector yields NULL, never
+    DIVIDE_BY_ZERO under ANSI mode; NULL fails any >= threshold)."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(c: F.Column) -> F.Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    return F.try_divide(dot, norm(vec_a) * norm(vec_b))
+
+
+def ivf_assign_sim_udf(centroids: np.ndarray):
+    """Arrow GEMV assignment like :func:`ivf_assign_udf`, but also
+    returns the winning cosine — needed by SemDeDup's keep-farthest-
+    from-centroid survivor policy."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<list: int, sim: double>")
+    def assign(col: pd.Series) -> pd.DataFrame:
+        mat = np.asarray(col.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ centroids.T
+        best = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "list": best.astype(np.int32),
+                "sim": sims[np.arange(len(best)), best],
+            }
+        )
+
+    return assign
+
+
+def semantic_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 256,
+    threshold: float = 0.95,
+    round_to: int | None = None,
+    sample_size: int = 4096,
+    n_iters: int = 8,
+    seed: int = 29,
+    distributed_training: bool = False,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs ``(id_a, id_b, cosine)`` —
+    the pair stage of SemDeDup (Abbas et al., arXiv:2303.09540):
+    spherical-k-means cluster ids are the BLOCKING key, so the cosine
+    join is a cluster-keyed equi-join (all-pairs only within a
+    cluster, never globally).  At 100 TB pick ``n_clusters ~ n_docs /
+    desired_cluster_size`` so per-cluster pair work stays bounded;
+    a pathologically hot cluster is capped upstream the same way hot
+    keys are elsewhere (:func:`hooqu_spark.ops.cap_per_key` on the
+    cluster id).
+
+    ``n_clusters <= 1`` skips training and blocks everything together
+    — exhaustive exact mode (recall 1.0), the correctness/oracle
+    configuration the driver contract grades (the partial-cluster
+    recall trade-off is covered by pytest, same pattern as
+    ``ivf_topk``'s full-probe grading).  ``round_to`` rounds the
+    cosine BEFORE thresholding (cross-engine borderline stability)."""
+    if n_clusters <= 1:
+        assigned = df.select(
+            F.col(id_col), F.col(vec_col), F.lit(0).alias("_sem_list")
+        )
+    else:
+        train = (
+            _train_centroids_distributed
+            if distributed_training
+            else _train_centroids
+        )
+        kwargs = {} if distributed_training else {"seed": seed}
+        centroids = train(
+            df, vec_col, id_col, n_clusters,
+            sample_size=sample_size, n_iters=n_iters, **kwargs,
+        )
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            ivf_assign_udf(centroids)(F.col(vec_col)).alias("_sem_list"),
+        )
+    l = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_sem_list").alias("_la"),
+    )
+    r = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_sem_list").alias("_lb"),
+    )
+    cosine = pairwise_cosine(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        cosine = F.round(cosine, round_to)
+    cond = F.col("id_a") < F.col("id_b")
+    if n_clusters > 1:
+        cond = (F.col("_la") == F.col("_lb")) & cond
+        joined = l.join(r, cond)
+    else:
+        # single block: broadcast nested-loop on the id inequality,
+        # the small-table exact baseline (cosine_similar_pairs shape)
+        joined = l.join(F.broadcast(r), cond)
+    return joined.select(
+        "id_a", "id_b", cosine.alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 256,
+    threshold: float = 0.95,
+    round_to: int | None = None,
+    keep: str = "min_id",
+    sample_size: int = 4096,
+    n_iters: int = 8,
+    seed: int = 29,
+    distributed_training: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    cluster embeddings, prune near-duplicates (cosine >= threshold)
+    within each cluster, keep one survivor per transitive duplicate
+    group.  The standard semantic-dedup shape for a web-scale corpus —
+    cluster id as the blocking key bounds the pair join; components
+    close via the O(log n) large-star/small-star scheme shared with
+    :func:`hooqu_spark.ops.dedup.dedup_by_clusters`.
+
+    Survivor policies:
+
+    * ``keep="min_id"`` (default): smallest id per duplicate group —
+      deterministic and engine-replayable (the contract oracle replays
+      it with a recursive closure).
+    * ``keep="centroid_far"``: the paper's policy — keep the group
+      member with the LOWEST cosine to its cluster centroid
+      (preserves the cluster's outer shell, pruning redundant
+      near-centroid mass); ties break to the smaller id.  Requires
+      ``n_clusters > 1`` (with a single block there is no centroid).
+
+    Returns the surviving rows of ``df`` (all original columns)."""
+    if keep not in ("min_id", "centroid_far"):
+        raise ValueError(f"unknown survivor policy: {keep!r}")
+    if keep == "centroid_far" and n_clusters <= 1:
+        raise ValueError(
+            "keep='centroid_far' needs n_clusters > 1 (a single block"
+            " has no centroid to measure against)"
+        )
+    pairs = semantic_duplicate_pairs(
+        df, id_col, vec_col, n_clusters, threshold, round_to,
+        sample_size, n_iters, seed, distributed_training,
+    )
+    if keep == "min_id":
+        from .dedup import dedup_by_clusters
+
+        return dedup_by_clusters(df, pairs, id_col)
+    from .dedup import duplicate_clusters_star
+
+    train = (
+        _train_centroids_distributed
+        if distributed_training
+        else _train_centroids
+    )
+    kwargs = {} if distributed_training else {"seed": seed}
+    centroids = train(
+        df, vec_col, id_col, n_clusters,
+        sample_size=sample_size, n_iters=n_iters, **kwargs,
+    )
+    comps = duplicate_clusters_star(pairs)  # (id, cluster-min id)
+    sims = df.select(
+        F.col(id_col).alias("id"),
+        ivf_assign_sim_udf(centroids)(F.col(vec_col))["sim"].alias("_sim"),
+    )
+    # survivor per duplicate group: argmin centroid-cosine, tie -> min
+    # id; one tiny groupBy over (component, member) rows
+    winners = (
+        comps.join(sims, "id")
+        .groupBy("cluster")
+        .agg(F.min(F.struct("_sim", "id")).alias("_w"))
+        .select(F.col("_w.id").alias("id"))
+    )
+    losers = comps.join(winners, "id", "left_anti").select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

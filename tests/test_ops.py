@@ -817,3 +817,146 @@ class TestRepeatedSpanDedup:
 
         with pytest.raises(ValueError, match="span mode"):
             repeated_span_dedup(span_docs, "id", mode="suffix")
+
+
+class TestSemanticDedup:
+    """SemDeDup-style embedding-cluster dedup (similarity.py)."""
+
+    @pytest.fixture()
+    def semvecs(self, spark):
+        # 60 base vectors + near-exact copies of a few of them, so the
+        # duplicate groups are unambiguous at threshold 0.99
+        rng = np.random.RandomState(5)
+        mat = rng.standard_normal((60, 12))
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(60)]
+        for j, src in enumerate((3, 3, 17, 41)):
+            dup = mat[src] * (1.0 + 1e-6)
+            rows.append((100 + j, [float(x) for x in dup]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    @staticmethod
+    def _reference_survivors(rows, threshold):
+        """Independent numpy reference: cosine pairs -> union-find ->
+        min-id survivor per component."""
+        ids = [i for i, _ in rows]
+        mat = np.asarray([v for _, v in rows], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round(mat @ mat.T, 6)
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                if cos[a, b] >= threshold:
+                    ra, rb = find(ids[a]), find(ids[b])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        return {i for i in ids if find(i) == i}
+
+    def test_exhaustive_matches_union_find_reference(self, semvecs):
+        from hooqu_spark.ops import semantic_dedup
+
+        rows = [(r.vec_id, r.embedding) for r in semvecs.collect()]
+        got = {
+            r.vec_id
+            for r in semantic_dedup(
+                semvecs, n_clusters=1, threshold=0.99, round_to=6
+            ).collect()
+        }
+        assert got == self._reference_survivors(rows, 0.99)
+        # the exact copies lost, their sources kept
+        assert {3, 17, 41} <= got
+        assert got.isdisjoint({100, 101, 102, 103})
+
+    def test_clustered_prunes_exact_copies(self, semvecs):
+        from hooqu_spark.ops import semantic_dedup
+
+        # identical vectors always share an argmax cluster, so exact
+        # copies are pruned at ANY n_clusters; blocking can only make
+        # the op MISS cross-cluster near-dups, never drop extra rows
+        exhaustive = {
+            r.vec_id
+            for r in semantic_dedup(
+                semvecs, n_clusters=1, threshold=0.99, round_to=6
+            ).collect()
+        }
+        clustered = {
+            r.vec_id
+            for r in semantic_dedup(
+                semvecs, n_clusters=8, threshold=0.99, round_to=6
+            ).collect()
+        }
+        assert clustered.isdisjoint({100, 101, 102, 103})
+        assert exhaustive <= clustered
+
+    def test_centroid_far_keeps_outlier_member(self, spark):
+        from hooqu_spark.ops import semantic_dedup
+
+        # Two clusters around distinct anchors.  Cluster members come
+        # in symmetric ±noise pairs so their noise cancels out of the
+        # centroid, making the centroid's direction predictable: ~ the
+        # anchor.  The duplicate pair is (50: exactly the anchor,
+        # 51: anchor + a fixed offset) — 51 has the LOWER centroid
+        # cosine, so the SemDeDup policy must keep 51 and drop 50.
+        rng = np.random.RandomState(9)
+        anchors = rng.standard_normal((2, 8)) * 3
+        noise = rng.standard_normal((5, 8))
+        noise *= 2.0 / np.linalg.norm(noise, axis=1, keepdims=True)
+        delta = rng.standard_normal(8)
+        delta *= 0.4 / np.linalg.norm(delta)
+        rows = []
+        i = 0
+        for c in range(2):
+            for f in noise:
+                rows.append((i, [float(x) for x in anchors[c] + f]))
+                rows.append((i + 1, [float(x) for x in anchors[c] - f]))
+                i += 2
+        rows.append((50, [float(x) for x in anchors[0]]))
+        rows.append((51, [float(x) for x in anchors[0] + delta]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            r.vec_id
+            for r in semantic_dedup(
+                df, n_clusters=2, threshold=0.995, keep="centroid_far",
+                sample_size=64,
+            ).collect()
+        }
+        # the off-anchor member survives; the near-centroid copy drops
+        assert 51 in out and 50 not in out
+        # min_id policy on the same data keeps 50 instead
+        out_min = {
+            r.vec_id
+            for r in semantic_dedup(
+                df, n_clusters=2, threshold=0.995, sample_size=64
+            ).collect()
+        }
+        assert 50 in out_min and 51 not in out_min
+
+    def test_policy_validation(self, semvecs):
+        from hooqu_spark.ops import semantic_dedup
+
+        with pytest.raises(ValueError, match="survivor policy"):
+            semantic_dedup(semvecs, keep="random")
+        with pytest.raises(ValueError, match="centroid_far"):
+            semantic_dedup(semvecs, n_clusters=1, keep="centroid_far")
+
+    def test_pairs_round_and_threshold(self, semvecs):
+        from hooqu_spark.ops import semantic_duplicate_pairs
+
+        pairs = semantic_duplicate_pairs(
+            semvecs, n_clusters=1, threshold=0.99, round_to=6
+        ).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} >= {
+            (3, 100), (3, 101), (100, 101), (17, 102), (41, 103)
+        }
+        for p in pairs:
+            assert p.cosine >= 0.99

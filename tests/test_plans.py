@@ -172,6 +172,24 @@ class TestNoCartesianProducts:
         p = plan_str(embedding_near_duplicates(vecs, threshold=0.9, n_planes=2))
         assert "CartesianProduct" not in p
 
+    def test_semantic_pair_join_is_cluster_keyed(self, spark):
+        from hooqu_spark.ops import semantic_duplicate_pairs
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(64)],
+            "vec_id long, embedding array<double>",
+        )
+        p = plan_str(
+            semantic_duplicate_pairs(
+                vecs, n_clusters=4, threshold=0.9, sample_size=64
+            )
+        )
+        # blocking on the k-means cluster id: the cosine join must be
+        # a cluster-keyed equi-join (shuffle on the aliased cluster
+        # column _la), never a global all-pairs
+        assert "CartesianProduct" not in p
+        assert "_la" in p.split("Exchange hashpartitioning", 1)[1][:40]
+
     def test_lsh_candidate_join_is_keyed(self, documents):
         from hooqu_spark.ops.dedup import (
             lsh_candidate_pairs,
