@@ -297,12 +297,39 @@ def main() -> None:
             "cert": min(gate, post),
         }
 
+    # Selection contract (ADVICE r4): every attempt's gate/post/kernel
+    # calibrations are recorded in the artifact (attempt_log below),
+    # and the committed attempt is chosen by best CERTIFICATION — with
+    # a fast-kernel window preferred first, because a slow-kernel
+    # window (>~0.29 ms/doc vs round 1's 0.24) inflates every absolute
+    # second ~1.2-1.5x while the scaling-ratio gate reads clean.  The
+    # chosen attempt's numbers are reported unconditionally (no
+    # per-query max-picking across attempts).
+    def _headline_score(att: dict) -> tuple:
+        return (att["kernel_ms"] <= 0.29, att["cert"])
+
+    headline_log: list[dict] = []
     best_headline = None
     for headline_attempt in range(1, 4):
         att = _headline_attempt()
-        if best_headline is None or att["cert"] > best_headline["cert"]:
+        headline_log.append(
+            {
+                "gate": round(att["gate"], 3),
+                "post": round(att["post"], 3),
+                "kernel_ms": round(att["kernel_ms"], 3),
+                "total_sec": round(sum(
+                    v for k, v in att["queries"].items()
+                    if not k.startswith("pipeline_docs")
+                ), 3),
+            }
+        )
+        if best_headline is None or _headline_score(att) > _headline_score(
+            best_headline
+        ):
             best_headline = att
-        if not RUN_SCALING or att["cert"] >= 0.75:
+        if not RUN_SCALING or (
+            att["cert"] >= 0.75 and att["kernel_ms"] <= 0.29
+        ):
             break
     queries.update(best_headline["queries"])
     if RUN_SCALING:
@@ -457,15 +484,29 @@ def main() -> None:
         # Round 3's committed artifact recorded raw 0.569 because the
         # quiet-window gate ran only at bench START and the host went
         # noisy by the time this section executed ~10 minutes later.
-        # Now every attempt re-gates immediately before its runs, and
-        # a sub-target result retries (bounded) — keeping the BEST
-        # attempt plus the gate/post calibrations that certify it.
+        # Every attempt re-gates immediately before its runs and a
+        # sub-target result retries (bounded).  Selection (ADVICE r4):
+        # by best CERTIFICATION (min of gate/post hw calibrations), not
+        # by best raw ratio — the best-certified attempt's numbers are
+        # reported unconditionally, and every attempt is recorded in
+        # the artifact's attempt_log so cross-round readers see the
+        # selection.
+        scaling_log: list[dict] = []
         best_att = None
         for attempt in range(1, 4):
             att = _scaling_attempt()
-            if best_att is None or att["raw"] > best_att["raw"]:
+            att["cert"] = min(att["gate"], att["post"])
+            scaling_log.append(
+                {
+                    "gate": round(att["gate"], 3),
+                    "post": att["post"],
+                    "raw": round(att["raw"], 3),
+                    "norm": round(att["norm"], 3),
+                }
+            )
+            if best_att is None or att["cert"] > best_att["cert"]:
                 best_att = att
-            if att["raw"] >= 0.8:
+            if att["raw"] >= 0.8 and att["cert"] >= 0.75:
                 break
         times = best_att["times"]
         queries[f"pipeline_sec_c{lo_cores}"] = times[lo_cores]
@@ -488,6 +529,104 @@ def main() -> None:
         # (single shared VM != two clusters; see BENCH/BASELINE.md)
         queries["scaling_efficiency"] = queries["scaling_efficiency_hw_normalized"]
 
+    # -- 10x scale-up evidence (round-5 task #1) ---------------------------
+    # The brief's bar is "plans you'd want at 100x scale"; the cheapest
+    # hard evidence that the LSH/span dedup shapes hide no O(n^2)
+    # candidate blow-up, driver bottleneck or memory cliff is a decade
+    # of data: the SAME deterministic dup-bearing corpus generator at
+    # 12k and 120k docs (10% exact dups, 10% near dups by
+    # construction), measuring the banded-candidate count (must grow
+    # ~linearly in docs — banding, never all-pairs) and docs/sec for
+    # the minhash candidate path and the CDC span dedup (must hold
+    # within ~20% across the decade = linear scan behavior).  The
+    # pipeline's own 8x point is already covered by the scaling
+    # section (120k headline vs 960k pinned-c32 docs/sec).
+    if RUN_SCALING and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from pyspark.sql import functions as F
+
+        s1 = make_session(CPUS)
+
+        def _dedup_corpus(n_docs: int) -> str:
+            """Deterministic documents table with built-in duplicate
+            structure, identical at every scale: ids ending in 1 carry
+            the text of the preceding id (exact dup), ids ending in 2
+            carry it with a short appended tail (near dup)."""
+            import pandas as pd
+
+            from hooqu_spark.pipeline.synth import make_docs_pdf
+
+            path = f"/tmp/hooqu_bench_dedup_{n_docs}"
+            if os.path.isdir(path):
+                return path
+
+            def gen(batches):
+                for pdf in batches:
+                    ids = pdf["id"].to_numpy()
+                    mod = ids % 10
+                    src = ids.copy()
+                    src[mod == 1] -= 1
+                    src[mod == 2] -= 2
+                    texts = make_docs_pdf(src)["text"].tolist()
+                    texts = [
+                        t + " trailing boilerplate notice appended"
+                        if m == 2 else t
+                        for t, m in zip(texts, mod)
+                    ]
+                    yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+            s1.range(0, n_docs, numPartitions=max(CPUS, 32)).mapInPandas(
+                gen, "doc_id long, text string"
+            ).write.mode("overwrite").parquet(path)
+            return path
+
+        from hooqu_spark.ops import repeated_span_dedup
+        from hooqu_spark.ops.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        pairs_at: dict[int, int] = {}
+        for label, n in (("1x", 12_000), ("10x", 120_000)):
+            path = _dedup_corpus(n)
+            docs = s1.read.parquet(path)
+
+            def q_minhash_pairs():
+                pairs_at[n] = lsh_candidate_pairs(
+                    minhash_signatures(docs, "doc_id")
+                ).count()
+
+            t = timed(q_minhash_pairs)
+            queries[f"sf1_minhash_sec_{label}"] = t
+            queries[f"sf1_minhash_docs_per_sec_{label}"] = round(n / t, 1)
+            queries[f"sf1_minhash_pairs_{label}"] = pairs_at[n]
+
+            t = timed(
+                lambda: repeated_span_dedup(docs, "doc_id").count()
+            )
+            queries[f"sf1_span_sec_{label}"] = t
+            queries[f"sf1_span_docs_per_sec_{label}"] = round(n / t, 1)
+
+        # ~1.0 = candidate pairs grew linearly with docs (banding
+        # holds); >> 1 would be the quadratic blow-up signal
+        queries["sf1_minhash_pairs_growth_vs_linear"] = round(
+            pairs_at[120_000] / (10.0 * pairs_at[12_000]), 3
+        )
+        # throughput retention across the decade (1.0 = perfectly
+        # linear; larger runs usually IMPROVE by amortizing fixed cost)
+        queries["sf1_minhash_throughput_ratio"] = round(
+            queries["sf1_minhash_docs_per_sec_10x"]
+            / queries["sf1_minhash_docs_per_sec_1x"],
+            3,
+        )
+        queries["sf1_span_throughput_ratio"] = round(
+            queries["sf1_span_docs_per_sec_10x"]
+            / queries["sf1_span_docs_per_sec_1x"],
+            3,
+        )
+        s1.stop()
+        for n in (12_000, 120_000):
+            shutil.rmtree(f"/tmp/hooqu_bench_dedup_{n}", ignore_errors=True)
+
     # headline total = the sf-scaled queries only; the scaling-evidence
     # runs (pipeline_sec_c8/c32 over the larger fixed-size corpus) are
     # reported as their own keys, not folded into the total
@@ -503,24 +642,28 @@ def main() -> None:
             v
             for k, v in queries.items()
             if not k.startswith(
-                ("pipeline_docs", "pipeline_sec_c", "scaling", "skew_", "hw_")
+                ("pipeline_docs", "pipeline_sec_c", "scaling", "skew_",
+                 "hw_", "sf1_")
             )
         ),
         3,
     )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_docs": N_DOCS,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": N_DOCS,
+    }
+    # full per-attempt record (ADVICE r4): the committed numbers above
+    # are one attempt selected by certification; this is every attempt
+    # that ran, so cross-round comparisons can see the selection
+    out["attempt_log"] = {"headline": headline_log}
+    if RUN_SCALING:
+        out["attempt_log"]["scaling"] = scaling_log
+    print(json.dumps(out))
 
 
 def _scaling_worker(cores: int, pages_dir: str) -> None:
