@@ -144,7 +144,10 @@ def _wait_for_quiet_window(max_attempts: int = 4, sleep_s: int = 45) -> float:
         rate8 = max(_raw_cpu_rate(8) for _ in range(2))
         rate32 = max(_raw_cpu_rate(32) for _ in range(2))
         eff = (rate32 / rate8) / 4.0
-        if eff >= 0.75 or attempt == max_attempts - 1:
+        # > 1.25 is as dirty as < 0.75: a physically impossible ratio
+        # means a neighbor burst crushed the 8-proc measurement (one
+        # run recorded 4.68), i.e. the window is unstable, not quiet
+        if 0.75 <= eff <= 1.25 or attempt == max_attempts - 1:
             break
         time.sleep(sleep_s)
     return eff
@@ -585,7 +588,21 @@ def main() -> None:
             minhash_signatures,
         )
 
+        def _span_job(d) -> None:
+            # checksum aggregate over the REBUILT text: a bare count()
+            # lets Catalyst eliminate the rebuild join entirely (the
+            # aggregate-keyed right side is provably key-unique), which
+            # times the scan instead of the operator
+            repeated_span_dedup(d, "doc_id").agg(
+                F.sum(F.length("text"))
+            ).collect()
+
         pairs_at: dict[int, int] = {}
+        warm = s1.read.parquet(_dedup_corpus(12_000))
+        # warm-up: JIT/codegen/Arrow before any timed run, so the 1x
+        # numbers measure the operator, not session start-up
+        lsh_candidate_pairs(minhash_signatures(warm, "doc_id")).count()
+        _span_job(warm)
         for label, n in (("1x", 12_000), ("10x", 120_000)):
             path = _dedup_corpus(n)
             docs = s1.read.parquet(path)
@@ -600,9 +617,7 @@ def main() -> None:
             queries[f"sf1_minhash_docs_per_sec_{label}"] = round(n / t, 1)
             queries[f"sf1_minhash_pairs_{label}"] = pairs_at[n]
 
-            t = timed(
-                lambda: repeated_span_dedup(docs, "doc_id").count()
-            )
+            t = timed(lambda: _span_job(docs))
             queries[f"sf1_span_sec_{label}"] = t
             queries[f"sf1_span_docs_per_sec_{label}"] = round(n / t, 1)
 
