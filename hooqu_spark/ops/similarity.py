@@ -23,6 +23,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _vec_matrix(col: pd.Series, dim: int) -> np.ndarray:
+    """Arrow batch -> (n, dim) float64 matrix.  NULL (or wrong-length)
+    vectors become all-NaN rows instead of crashing the whole batch
+    (``np.asarray`` over a ragged list raises) — NaN propagates to a
+    NaN score / NaN assignment similarity that callers filter.  The
+    homogeneous fast path stays a single zero-copy asarray."""
+    vals = col.tolist()
+    try:
+        mat = np.asarray(vals, dtype=np.float64)
+        if mat.ndim == 2 and mat.shape[1] == dim:
+            return mat
+    except (ValueError, TypeError):
+        pass
+    mat = np.full((len(vals), dim), np.nan)
+    for i, v in enumerate(vals):
+        if v is not None and len(v) == dim:
+            mat[i] = v
+    return mat
+
+
 def _cosine_udf(query_vec: Sequence[float]):
     from pyspark.sql.functions import pandas_udf
 
@@ -31,7 +51,7 @@ def _cosine_udf(query_vec: Sequence[float]):
 
     @pandas_udf("double")
     def cos(col: pd.Series) -> pd.Series:
-        mat = np.asarray(col.tolist(), dtype=np.float64)  # (batch, dim)
+        mat = _vec_matrix(col, len(q))  # (batch, dim)
         norms = np.linalg.norm(mat, axis=1)
         dots = mat @ q
         denom = norms * qn
@@ -45,6 +65,7 @@ def _cosine_udf(query_vec: Sequence[float]):
 def cosine_scores(
     df: DataFrame, query_vec: Sequence[float], vec_col: str = "embedding"
 ) -> DataFrame:
+    """Per-row cosine vs the query (NULL/ragged vectors score NaN)."""
     return df.withColumn("cosine", _cosine_udf(query_vec)(F.col(vec_col)))
 
 
@@ -55,10 +76,15 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k by cosine; deterministic tie-break on id."""
+    """Exact top-k by cosine; deterministic tie-break on id.
+
+    NaN scores (NULL/degenerate vectors) are excluded BEFORE the sort:
+    Spark orders NaN as the LARGEST double, so an unfiltered NULL
+    embedding would otherwise win every descending top-k."""
     scored = cosine_scores(df, query_vec, vec_col)
     return (
         scored.select(id_col, "cosine")
+        .where(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -118,8 +144,8 @@ def lsh_bucket_udf(dim: int, n_planes: int, seed: int = 13):
 
     @pandas_udf("long")
     def bucket(col: pd.Series) -> pd.Series:
-        mat = np.asarray(col.tolist(), dtype=np.float64)
-        signs = (mat @ planes) > 0
+        mat = _vec_matrix(col, dim)
+        signs = (mat @ planes) > 0  # NaN rows -> all-False -> bucket 0
         return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
 
     return bucket
@@ -217,7 +243,11 @@ def _train_centroids(
     ``groupBy(assignment).avg`` jobs over a 0.1% sample — the
     assignment/probe machinery below is unchanged."""
     sample = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+        df.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
     )
     mat = np.asarray([r[1] for r in sample], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -261,6 +291,7 @@ def _train_centroids_distributed(
       ``posexplode -> groupBy(list, dim).avg`` computes per-centroid
       means map-side-combined; only n_centroids*dim tiny rows collect.
     """
+    df = df.where(F.col(vec_col).isNotNull())
     total = df.count()
     if total > sample_size:
         mod = max(1, total // sample_size)
@@ -314,9 +345,16 @@ def ivf_assign_udf(centroids: np.ndarray):
 
     @pandas_udf("int")
     def assign(col: pd.Series) -> pd.Series:
-        mat = np.asarray(col.tolist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mat @ centroids.T).argmax(axis=1).astype(np.int32))
+        mat = _vec_matrix(col, centroids.shape[1])
+        with np.errstate(invalid="ignore"):
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            # NaN rows argmax to 0 deterministically; exclude NULL
+            # vectors upstream where the assignment matters
+            return pd.Series(
+                (mat @ centroids.T).argmax(axis=1).astype(np.int32)
+            )
 
     return assign
 
@@ -390,7 +428,10 @@ def ivf_build_index(
         centroids = _train_centroids(
             df, vec_col, id_col, n_centroids, seed=seed
         )
-    assigned = df.withColumn(
+    # NULL-embedding rows are excluded from the index: they can never
+    # be a nearest neighbor, and assigning them to a real list would
+    # pollute that partition's scan
+    assigned = df.where(F.col(vec_col).isNotNull()).withColumn(
         "ivf_list", ivf_assign_udf(centroids)(F.col(vec_col))
     )
     assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(path)
@@ -498,7 +539,13 @@ def embedding_near_duplicates(
     BEFORE thresholding (cross-engine borderline stability — the
     driver contract uses 6), same contract as
     :func:`cosine_similar_pairs`."""
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if probe is None:  # no non-NULL vectors -> no pairs
+        id_t = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cosine double"
+        )
+    dim = len(probe[0])
     if dim * n_planes <= 8192:
         bucket = lsh_bucket_expr(vec_col, dim, n_planes, seed)
     else:
@@ -577,10 +624,13 @@ def ivf_assign_sim_udf(centroids: np.ndarray):
 
     @pandas_udf("struct<list: int, sim: double>")
     def assign(col: pd.Series) -> pd.DataFrame:
-        mat = np.asarray(col.tolist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ centroids.T
-        best = sims.argmax(axis=1)
+        mat = _vec_matrix(col, centroids.shape[1])
+        with np.errstate(invalid="ignore"):
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ centroids.T
+        best = sims.argmax(axis=1)  # NaN rows -> 0, sim NaN
         return pd.DataFrame(
             {
                 "list": best.astype(np.int32),
@@ -618,7 +668,12 @@ def semantic_duplicate_pairs(
     configuration the driver contract grades (the partial-cluster
     recall trade-off is covered by pytest, same pattern as
     ``ivf_topk``'s full-probe grading).  ``round_to`` rounds the
-    cosine BEFORE thresholding (cross-engine borderline stability)."""
+    cosine BEFORE thresholding (cross-engine borderline stability).
+
+    NULL-embedding rows never pair (a NULL cosine fails any
+    threshold), so they are excluded here up front — which also means
+    they always SURVIVE :func:`semantic_dedup`."""
+    df = df.where(F.col(vec_col).isNotNull())
     if n_clusters <= 1:
         assigned = df.select(
             F.col(id_col), F.col(vec_col), F.lit(0).alias("_sem_list")

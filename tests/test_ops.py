@@ -960,3 +960,81 @@ class TestSemanticDedup:
         }
         for p in pairs:
             assert p.cosine >= 0.99
+
+
+class TestNullEmbeddingRobustness:
+    """A web-scale embeddings table WILL contain NULL rows (failed
+    encoder calls); no similarity operator may crash on them, rank
+    them (Spark sorts NaN as the largest double), or dedup them."""
+
+    @pytest.fixture()
+    def nvecs(self, spark):
+        rng = np.random.RandomState(3)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(6)])
+            for i in range(30)
+        ]
+        rows += [(90, rows[4][1]), (99, None)]  # a dup + a NULL
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_brute_force_topk_never_ranks_null(self, nvecs):
+        q = nvecs.where("vec_id = 4").first().embedding
+        got = [r.vec_id for r in brute_force_topk(nvecs, q, k=3).collect()]
+        assert 99 not in got
+        assert set(got[:2]) == {4, 90}  # the vector and its copy win
+
+    def test_semantic_dedup_null_survives_both_modes(self, nvecs):
+        from hooqu_spark.ops import semantic_dedup
+
+        for k in (1, 4):
+            out = {
+                r.vec_id
+                for r in semantic_dedup(
+                    nvecs, n_clusters=k, threshold=0.999,
+                    round_to=6, sample_size=64,
+                ).collect()
+            }
+            assert 99 in out, k  # NULL row survives, never crashes
+            assert 90 not in out and 4 in out, k  # real dup still drops
+
+    def test_ivf_index_excludes_null(self, nvecs, tmp_path):
+        from hooqu_spark.ops import ivf_build_index, ivf_probe_index
+
+        path = str(tmp_path / "nullivf")
+        ivf_build_index(nvecs, path, n_centroids=4)
+        spark = nvecs.sparkSession
+        indexed = spark.read.parquet(path)
+        assert indexed.where("vec_id = 99").count() == 0
+        assert indexed.count() == 31
+        q = nvecs.where("vec_id = 4").first().embedding
+        got = [
+            r.vec_id
+            for r in ivf_probe_index(spark, path, q, k=2, n_probe=4).collect()
+        ]
+        assert set(got) == {4, 90}
+
+    def test_near_duplicates_skip_null(self, nvecs):
+        pairs = embedding_near_duplicates(
+            nvecs, threshold=0.999, n_planes=2
+        ).collect()
+        ids = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+        assert 99 not in ids
+        assert (4, 90) in {(p.id_a, p.id_b) for p in pairs}
+
+    def test_near_duplicates_all_null_or_nullfirst(self, spark):
+        # dim probing must skip NULL rows and an all-NULL table must
+        # yield an empty pair frame, not a crash
+        df = spark.createDataFrame(
+            [(0, None), (1, [1.0, 2.0]), (2, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = embedding_near_duplicates(df, threshold=0.999, n_planes=2)
+        assert {(p.id_a, p.id_b) for p in pairs.collect()} == {(1, 2)}
+        allnull = spark.createDataFrame(
+            [(0, None)], "vec_id long, embedding array<double>"
+        )
+        out = embedding_near_duplicates(allnull, threshold=0.9)
+        assert out.count() == 0
+        assert set(out.columns) == {"id_a", "id_b", "cosine"}
