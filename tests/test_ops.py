@@ -1038,3 +1038,17 @@ class TestNullEmbeddingRobustness:
         out = embedding_near_duplicates(allnull, threshold=0.9)
         assert out.count() == 0
         assert set(out.columns) == {"id_a", "id_b", "cosine"}
+
+    def test_semantic_dedup_distributed_training_path(self, nvecs):
+        # the 10^12-scale trainer (Spark-job Lloyd iterations) must
+        # plug into semantic dedup and still drop the exact copy
+        from hooqu_spark.ops import semantic_dedup
+
+        out = {
+            r.vec_id
+            for r in semantic_dedup(
+                nvecs, n_clusters=4, threshold=0.999, round_to=6,
+                distributed_training=True,
+            ).collect()
+        }
+        assert 99 in out and 4 in out and 90 not in out
