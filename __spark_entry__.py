@@ -169,11 +169,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # FUSED (round 5): whitespace count + the BPE-ish regex count
+        # (ops.text.bpe_token_count_col) grade in one scan.
         from hooqu_spark.ops import token_counts
+        from hooqu_spark.ops.text import bpe_token_count_col
 
         df = _t(spark, sf_dir, "documents")
         return token_counts(df).select(
-            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            bpe_token_count_col("text").cast("long").alias("n_bpe_tokens"),
         )
 
     def lang_distribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,6 +882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from hooqu_spark.ops.text import BPE_TOKEN_PATTERN
+
+    _BPE_PATTERN_SQL = BPE_TOKEN_PATTERN.replace("'", "''")
     # n-gram Jaccard shingle CTE shared by the pairs and dedup oracles:
     # tokens = non-empty chunks of a whitespace split; docs shorter
     # than 3 words contribute their full text as the single shingle
@@ -1283,8 +1291,14 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents) WHERE rn = 1"
         ),
         "token_count_documents": (
+            # n_bpe_tokens replays ops.text.BPE_TOKEN_PATTERN (Java
+            # regex and RE2 agree: leftmost-first alternation, Unicode
+            # \p{L}/\p{N}, no lookaheads) — SQL-quoted via doubled '.
             "SELECT doc_id, len(list_filter(string_split(text, ' '),"
-            " x -> x <> '')) AS n_tokens FROM documents"
+            " x -> x <> '')) AS n_tokens,"
+            " len(regexp_extract_all(text, '"
+            + _BPE_PATTERN_SQL
+            + "')) AS n_bpe_tokens FROM documents"
         ),
         "language_distribution_documents": (
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"

@@ -63,16 +63,28 @@ from .web import (
     url_dedup,
 )
 from .text import (
+    bpe_token_count_col,
     document_fingerprints,
     language_distribution,
     quality_features,
     sample_to_token_budget,
     token_counts,
 )
+from .multimodal import (
+    attach_binary_metadata,
+    extract_binary_features,
+    frame_sample_stub,
+    resize_images,
+)
 
 __all__ = [
     "asof_join",
+    "attach_binary_metadata",
+    "bpe_token_count_col",
     "brute_force_topk",
+    "extract_binary_features",
+    "frame_sample_stub",
+    "resize_images",
     "cap_per_key",
     "cosine_similar_pairs",
     "canonicalize_urls",

@@ -100,6 +100,86 @@ def default_image_decoder():
     return PillowImageDecoder() if _PILLOW_AVAILABLE else FakeImageDecoder()
 
 
+class FakeImageResizer:
+    """DETERMINISTIC_FAKE_DECODE stand-in for resize: emits a stable
+    synthetic payload — an 8-byte ``FAKERSZ0`` magic, the target
+    dimensions, and the crc32 of the source bytes — so tests can
+    verify determinism, size bounds and that distinct sources stay
+    distinct, without any media library."""
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        h = zlib.crc32(payload)
+        return (
+            b"FAKERSZ0"
+            + width.to_bytes(4, "big")
+            + height.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+        )
+
+
+class PillowImageResizer:
+    """Real resize path (auto-selected when Pillow is importable):
+    decode → ``Image.resize`` → re-encode PNG.  Payloads Pillow cannot
+    parse return NULL instead of failing the task."""
+
+    def resize(self, payload: bytes, width: int, height: int):
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+        except Exception:
+            return None
+
+
+def default_image_resizer():
+    """Pillow when available, else the deterministic fake."""
+    return PillowImageResizer() if _PILLOW_AVAILABLE else FakeImageResizer()
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str = "html",
+    width: int = 224,
+    height: int = 224,
+    resizer: Optional[object] = None,
+    out_col: str = "resized",
+) -> DataFrame:
+    """Resize every image payload to ``width``×``height`` (the
+    train-time normalization step), vectorized in mapInPandas so the
+    binary never round-trips as rows.
+
+    ``resizer`` is any object with ``resize(payload: bytes, width,
+    height) -> bytes | None`` — defaults to
+    :func:`default_image_resizer` (Pillow if importable, else the
+    deterministic fake).  NULL payloads stay NULL.  At scale the only
+    plan node is one Python eval over the scan: no shuffle, output
+    size bounded by ``width*height`` per row regardless of input
+    payload size."""
+    if resizer is None:
+        resizer = default_image_resizer()
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None
+                if b is None
+                else resizer.resize(bytes(b), width, height)
+                for b in pdf[binary_col].tolist()
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def attach_binary_metadata(
     df: DataFrame, binary_col: str = "html", decoder: Optional[object] = None
 ) -> DataFrame:

@@ -28,6 +28,27 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", token_count_col(text_col))
 
 
+# GPT-2-style pre-tokenizer alternation, minus the lookahead clauses
+# (which RE2 cannot run — keeping the pattern engine-portable) and the
+# pure-whitespace tokens (which a BPE vocab absorbs into the following
+# word's leading-space variant anyway).  Alternation is leftmost-first
+# in BOTH Java regex and RE2's PCRE mode, and every class used
+# (\p{L}, \p{N}, \s) is Unicode in both engines, so the match
+# sequence — hence the count — is identical across Spark and DuckDB.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|re|ve)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count_col(text_col: str = "text") -> Column:
+    """BPE-ish token count as ONE JVM regex scan (`regexp_count`) —
+    the standard cheap proxy for tokenizer cost when budgeting a
+    mixing run, without shipping a real BPE vocab to executors.
+    Counts pre-tokenizer pieces (words, numbers, punctuation runs,
+    English contraction suffixes), each of which a byte-BPE splits
+    further but never merges across; the count is a stable lower
+    bound that tracks real tokenizer counts linearly."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+
+
 def document_fingerprints(
     df: DataFrame, text_col: str = "text", hash: str = "xxhash64"
 ) -> DataFrame:

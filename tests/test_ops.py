@@ -373,6 +373,64 @@ class TestText:
         for row in docs.collect():
             assert got[row["id"]] == len([w for w in row["text"].split(" ") if w])
 
+    def test_bpe_token_count_matches_regex_model(self, spark):
+        # reference model: the same pattern run by the `regex` module
+        # (Python `re` lacks \p{L}); leftmost-first alternation in all
+        # three engines (Java, RE2, regex) makes the counts identical
+        import regex as re_u
+
+        from hooqu_spark.ops.text import BPE_TOKEN_PATTERN, bpe_token_count_col
+
+        texts = [
+            "it's we'll they're I've don't 2024 isn't",
+            "café über naïve — em-dash…  multi   space",
+            "plain words only",
+            "numbers 123 456.789 mixed7tokens",
+            "punct!!! runs??? (parens) [brackets] a'b",
+            "",
+            None,
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", bpe_token_count_col("text").alias("n")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            want = None if t is None else len(re_u.findall(BPE_TOKEN_PATTERN, t))
+            assert got[i] == want, (i, t, got[i], want)
+
+    def test_bpe_token_count_matches_duckdb(self, spark):
+        # the contract oracle runs the SAME pattern through RE2 —
+        # cross-engine agreement on unicode + contraction edge cases
+        import duckdb
+
+        from hooqu_spark.ops.text import BPE_TOKEN_PATTERN, bpe_token_count_col
+
+        texts = [
+            "it's we'll they're I've 2024",
+            "café über … naïve's 'quoted'",
+            "a\tb\nc  d",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", bpe_token_count_col("text").alias("n")
+            ).collect()
+        }
+        pat_sql = BPE_TOKEN_PATTERN.replace("'", "''")
+        for i, t in enumerate(texts):
+            (want,) = duckdb.sql(
+                f"SELECT len(regexp_extract_all(?, '{pat_sql}'))", params=[t]
+            ).fetchone()
+            assert got[i] == want, (i, t, got[i], want)
+
     def test_fingerprints(self, docs):
         out = document_fingerprints(docs).collect()
         by_id = {r["id"]: r for r in out}
@@ -464,6 +522,65 @@ class TestMultimodal:
             by_id.setdefault(r["id"], []).append(r["frame_idx"])
         assert len(by_id[0]) == 3  # 5 pseudo-frames sampled every 2 -> 0,2,4
         assert 3 not in by_id  # null payload -> no frames
+
+    def test_resize_deterministic_fake(self, media):
+        from hooqu_spark.ops.multimodal import FakeImageResizer, resize_images
+
+        a = {
+            r["id"]: r["resized"]
+            for r in resize_images(
+                media, width=224, height=224, resizer=FakeImageResizer()
+            ).collect()
+        }
+        b = {
+            r["id"]: r["resized"]
+            for r in resize_images(
+                media, width=224, height=224, resizer=FakeImageResizer()
+            ).collect()
+        }
+        assert a == b  # deterministic
+        assert a[3] is None  # NULL payload stays NULL
+        assert a[0] != a[1]  # distinct sources stay distinct
+        for i in (0, 1, 2):
+            payload = bytes(a[i])
+            assert payload[:8] == b"FAKERSZ0"
+            assert int.from_bytes(payload[8:12], "big") == 224
+            assert int.from_bytes(payload[12:16], "big") == 224
+            # output bounded regardless of input payload size
+            assert len(payload) == 20
+
+    def test_resize_custom_resizer_dispatch(self, media):
+        # in-function stand-in (cloudpickle by value) proving the
+        # production Pillow path's dispatch: receives payload + target
+        # dims, its bytes land in the output column
+        from hooqu_spark.ops.multimodal import resize_images
+
+        class RecordingResizer:
+            def resize(self, payload, width, height):
+                return b"%dx%d:%d" % (width, height, len(payload))
+
+        out = {
+            r["id"]: r["resized"]
+            for r in resize_images(
+                media, width=64, height=32, resizer=RecordingResizer()
+            ).collect()
+        }
+        assert bytes(out[0]) == b"64x32:5006"
+        assert out[3] is None
+
+    def test_default_resizer_selection_matches_environment(self):
+        from hooqu_spark.ops.multimodal import (
+            _PILLOW_AVAILABLE,
+            FakeImageResizer,
+            PillowImageResizer,
+            default_image_resizer,
+        )
+
+        r = default_image_resizer()
+        if _PILLOW_AVAILABLE:
+            assert isinstance(r, PillowImageResizer)
+        else:
+            assert isinstance(r, FakeImageResizer)
 
 
 class TestFingerprints:
