@@ -641,6 +641,28 @@ def ivf_assign_sim_udf(centroids: np.ndarray):
     return assign
 
 
+def _train_sem_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+    sample_size: int,
+    n_iters: int,
+    seed: int,
+    distributed_training: bool,
+) -> np.ndarray:
+    train = (
+        _train_centroids_distributed
+        if distributed_training
+        else _train_centroids
+    )
+    kwargs = {} if distributed_training else {"seed": seed}
+    return train(
+        df, vec_col, id_col, n_clusters,
+        sample_size=sample_size, n_iters=n_iters, **kwargs,
+    )
+
+
 def semantic_duplicate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -652,6 +674,7 @@ def semantic_duplicate_pairs(
     n_iters: int = 8,
     seed: int = 29,
     distributed_training: bool = False,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs ``(id_a, id_b, cosine)`` —
     the pair stage of SemDeDup (Abbas et al., arXiv:2303.09540):
@@ -672,23 +695,22 @@ def semantic_duplicate_pairs(
 
     NULL-embedding rows never pair (a NULL cosine fails any
     threshold), so they are excluded here up front — which also means
-    they always SURVIVE :func:`semantic_dedup`."""
+    they always SURVIVE :func:`semantic_dedup`.
+
+    ``centroids`` lets a caller that already trained the k-means model
+    (``semantic_dedup``'s centroid_far policy needs it again for the
+    survivor scoring) pass it in instead of retraining."""
     df = df.where(F.col(vec_col).isNotNull())
     if n_clusters <= 1:
         assigned = df.select(
             F.col(id_col), F.col(vec_col), F.lit(0).alias("_sem_list")
         )
     else:
-        train = (
-            _train_centroids_distributed
-            if distributed_training
-            else _train_centroids
-        )
-        kwargs = {} if distributed_training else {"seed": seed}
-        centroids = train(
-            df, vec_col, id_col, n_clusters,
-            sample_size=sample_size, n_iters=n_iters, **kwargs,
-        )
+        if centroids is None:
+            centroids = _train_sem_centroids(
+                df, vec_col, id_col, n_clusters, sample_size, n_iters,
+                seed, distributed_training,
+            )
         assigned = df.select(
             F.col(id_col),
             F.col(vec_col),
@@ -760,26 +782,25 @@ def semantic_dedup(
             "keep='centroid_far' needs n_clusters > 1 (a single block"
             " has no centroid to measure against)"
         )
+    # centroid_far needs the trained model twice (blocking + survivor
+    # scoring) — train ONCE here and thread it through
+    centroids = (
+        _train_sem_centroids(
+            df.where(F.col(vec_col).isNotNull()), vec_col, id_col,
+            n_clusters, sample_size, n_iters, seed, distributed_training,
+        )
+        if keep == "centroid_far"
+        else None
+    )
     pairs = semantic_duplicate_pairs(
         df, id_col, vec_col, n_clusters, threshold, round_to,
-        sample_size, n_iters, seed, distributed_training,
+        sample_size, n_iters, seed, distributed_training, centroids,
     )
     if keep == "min_id":
         from .dedup import dedup_by_clusters
 
         return dedup_by_clusters(df, pairs, id_col)
     from .dedup import duplicate_clusters_star
-
-    train = (
-        _train_centroids_distributed
-        if distributed_training
-        else _train_centroids
-    )
-    kwargs = {} if distributed_training else {"seed": seed}
-    centroids = train(
-        df, vec_col, id_col, n_clusters,
-        sample_size=sample_size, n_iters=n_iters, **kwargs,
-    )
     comps = duplicate_clusters_star(pairs)  # (id, cluster-min id)
     sims = df.select(
         F.col(id_col).alias("id"),
