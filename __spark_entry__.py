@@ -667,11 +667,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprints_md5_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Engine-portable fingerprint mode: 64 bits from the first 16
         # md5 hex chars -> DuckDB replays both fingerprints exactly.
-        from hooqu_spark.ops import document_fingerprints
+        # FUSED (round 5): also grades dedup_against — the rows kept
+        # are the survivors of an incremental dedup against an
+        # "already ingested" reference slice (doc_id % 7 == 0) keyed
+        # on fp_exact; the oracle replays it with NOT EXISTS (the
+        # null-unsafe anti-join semantics: NULL-fingerprint rows
+        # always survive).
+        from hooqu_spark.ops import dedup_against, document_fingerprints
 
         df = _t(spark, sf_dir, "documents")
-        return document_fingerprints(df, hash="md5").select(
+        fps = document_fingerprints(df, hash="md5").select(
             "doc_id", "fp_exact", "fp_prefix"
+        )
+        reference = fps.where(F.col("doc_id") % 7 == 0)
+        return dedup_against(
+            fps, reference, ["fp_exact"], broadcast_reference=True
         )
 
     def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1505,13 +1515,18 @@ def oracle_sql() -> dict[str, str]:
             " * 4294967296"
             " + ('0x' || substr(md5(pfx),1,8))::UBIGINT::HUGEINT AS up"
             " FROM t)"
-            " SELECT doc_id,"
+            ", f AS (SELECT doc_id,"
             " CAST(CASE WHEN ue >= 9223372036854775808::HUGEINT"
             " THEN ue - 18446744073709551616::HUGEINT ELSE ue END"
             " AS BIGINT) AS fp_exact,"
             " CAST(CASE WHEN up >= 9223372036854775808::HUGEINT"
             " THEN up - 18446744073709551616::HUGEINT ELSE up END"
-            " AS BIGINT) AS fp_prefix FROM h"
+            " AS BIGINT) AS fp_prefix FROM h)"
+            # dedup_against replay: NOT EXISTS = the anti-join's
+            # null-unsafe equality (NULL fp_exact always survives)
+            " SELECT doc_id, fp_exact, fp_prefix FROM f"
+            " WHERE NOT EXISTS (SELECT 1 FROM f r"
+            " WHERE r.doc_id % 7 = 0 AND r.fp_exact = f.fp_exact)"
         ),
         "near_dup_pairs_embeddings": (
             "WITH be AS (SELECT vec_id, embedding::DOUBLE[] AS e"

@@ -15,6 +15,7 @@ from .corpus import (
     stratified_sample,
 )
 from .dedup import (
+    dedup_against,
     dedup_by_clusters,
     duplicate_clusters,
     duplicate_clusters_star,
@@ -88,6 +89,7 @@ __all__ = [
     "cap_per_key",
     "cosine_similar_pairs",
     "canonicalize_urls",
+    "dedup_against",
     "cosine_scores",
     "dedup_by_clusters",
     "dedup_lines_by_frequency",

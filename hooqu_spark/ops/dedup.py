@@ -50,6 +50,34 @@ def exact_dedup(df: DataFrame, subset: List[str], id_col: str) -> DataFrame:
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    key_cols: List[str],
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Incremental dedup: drop rows of ``df`` whose key already exists
+    in an already-ingested ``reference`` corpus — the standard shape
+    for deduplicating a new crawl snapshot against everything ingested
+    before it (keys are typically content fingerprints,
+    :func:`hooqu_spark.ops.text.document_fingerprints`, or canonical
+    URLs).
+
+    Plan: the reference side is pruned to its DISTINCT key columns
+    before the LEFT ANTI join, so only keys — never payloads — shuffle
+    (or broadcast, with ``broadcast_reference=True`` for a reference
+    that fits in executor memory, e.g. a day's fingerprints vs a
+    multi-year corpus scan).  Rows whose key is NULL always survive
+    (anti-join equality is null-unsafe; a missing fingerprint carries
+    no duplication evidence) — the DuckDB-replayable semantics are
+    ``WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.k = df.k ...)``.
+    """
+    keys = reference.select(*key_cols).distinct()
+    if broadcast_reference:
+        keys = F.broadcast(keys)
+    return df.join(keys, on=key_cols, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash
 # ---------------------------------------------------------------------------

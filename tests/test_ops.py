@@ -52,6 +52,60 @@ class TestExactDedup:
         assert ids == {0, 2, 3, 4, 5, 6}
 
 
+class TestDedupAgainst:
+    def test_drops_rows_whose_key_is_in_reference(self, spark):
+        from hooqu_spark.ops import dedup_against
+
+        new = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c"), (3, None), (4, "a")],
+            "id long, fp string",
+        )
+        ingested = spark.createDataFrame(
+            [(100, "a"), (101, "d"), (102, None)], "id long, fp string"
+        )
+        got = {r["id"] for r in dedup_against(new, ingested, ["fp"]).collect()}
+        # "a" already ingested -> 0 and 4 drop; NULL keys always
+        # survive (null-unsafe anti join), incl. vs the reference's
+        # own NULL key
+        assert got == {1, 2, 3}
+
+    def test_broadcast_mode_same_result_and_broadcast_plan(self, spark):
+        from hooqu_spark.ops import dedup_against
+
+        new = spark.createDataFrame(
+            [(i, f"k{i % 5}") for i in range(40)], "id long, fp string"
+        )
+        ref = spark.createDataFrame([(0, "k1"), (1, "k3")], "rid long, fp string")
+        plain = {r["id"] for r in dedup_against(new, ref, ["fp"]).collect()}
+        bcast_df = dedup_against(new, ref, ["fp"], broadcast_reference=True)
+        bcast = {r["id"] for r in bcast_df.collect()}
+        assert plain == bcast == {i for i in range(40) if i % 5 not in (1, 3)}
+        assert "BroadcastHashJoin" in bcast_df._jdf.queryExecution().executedPlan().toString()
+
+    def test_reference_payload_columns_never_join(self, spark):
+        # the reference is pruned to distinct keys before the join —
+        # a fat payload column on the reference side must not appear
+        # in the join plan's build side
+        from hooqu_spark.ops import dedup_against
+
+        new = spark.createDataFrame([(0, "a"), (1, "b")], "id long, fp string")
+        ref = spark.createDataFrame(
+            [(0, "a", "x" * 10)], "rid long, fp string, payload string"
+        )
+        out = dedup_against(new, ref, ["fp"])
+        assert {r["id"] for r in out.collect()} == {1}
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # the anti-join's build side is distinct-over-key-only: an
+        # Aggregate on fp alone, with rid/payload pruned before it
+        # (the source LocalRelation line still names every column, so
+        # assert on the Aggregate/Project nodes instead)
+        agg_lines = [l for l in plan.splitlines() if "Aggregate" in l]
+        assert agg_lines and all(
+            "fp" in l and "payload" not in l and "rid" not in l
+            for l in agg_lines
+        ), plan
+
+
 class TestMinHash:
     def test_signatures_match_naive_md5_model(self, spark):
         # the JVM signature aggregate must produce EXACTLY the naive
