@@ -279,3 +279,86 @@ def streaming_dedup(
         dedup_cols
     )
     return out.drop("_hooqu_fp") if fingerprint else out
+
+
+def streaming_grouped_metrics(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact running per-key metrics (``n``, ``mean``, ``stddev``)
+    over an unbounded stream, as a CUSTOM stateful operator:
+    ``applyInPandasWithState`` with the per-key state being the same
+    ``(n, avg, m2)`` Welford triple the batch lineage layer persists
+    (:class:`hooqu_spark.states.StandardDeviationState`) — each
+    micro-batch folds its Arrow batches into a batch-partial and
+    Chan-merges it into the stored triple, so cumulative metrics after
+    N batches equal the metrics of the concatenated data.
+
+    This is the shape for stateful semantics Spark's built-in
+    streaming aggregates cannot express directly against the batch
+    layer: the state IS the engine's own mergeable analyzer monoid,
+    so a key's triple can be checkpointed into, or restored from, the
+    batch lineage tables (:mod:`hooqu_spark.lineage`) mid-stream.
+
+    Per-key state is one triple (24 bytes) regardless of stream
+    length; each batch emits only the keys it updated (output mode
+    ``update``).  NULL/NaN values are skipped (the analyzers' pandas
+    parity); a key that has seen only NULLs emits nothing.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .states import StandardDeviationState
+
+    key_field = stream_df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("n", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("stddev", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.DoubleType()),
+            T.StructField("avg", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        acc = (
+            StandardDeviationState(*state.get) if state.exists else None
+        )
+        for pdf in pdfs:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+            if not len(vals):
+                continue
+            bavg = float(vals.mean())
+            bm2 = float(((vals - bavg) ** 2).sum())
+            part = StandardDeviationState(float(len(vals)), bavg, bm2)
+            acc = part if acc is None else acc.sum(part)
+        if acc is None:  # nothing numeric arrived for this key
+            return
+        state.update((acc.n, acc.avg, acc.m2))
+        yield pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    "n": int(acc.n),
+                    "mean": acc.avg,
+                    "stddev": acc.metric_value(),
+                }
+            ]
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

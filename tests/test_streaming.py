@@ -376,3 +376,103 @@ class TestStreamingDedup:
         # fingerprint=False does not touch the column -> no raise
         out = streaming_dedup(df, ["a"], "ts", fingerprint=False)
         assert "_hooqu_fp" in out.columns
+
+
+class TestStreamingGroupedMetrics:
+    def test_custom_stateful_state_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState running metrics: after consuming two
+        micro-batches (maxFilesPerTrigger=1), each key's LAST emitted
+        cumulative (n, mean, stddev) must equal the batch aggregation
+        over the concatenated data — the monoid-state contract, now
+        held by Spark's streaming state store."""
+        from hooqu_spark.streaming import streaming_grouped_metrics
+
+        src = str(tmp_path / "gm_src")
+        ckpt = str(tmp_path / "gm_ckpt")
+        schema = "k string, v double"
+        batch1 = [("a", 1.0), ("a", 2.0), ("b", 10.0)]
+        batch2 = [("a", 3.0), ("a", None), ("b", 20.0), ("b", 30.0), ("c", 5.0)]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        emitted = []  # (batch_id, rows)
+
+        def sink(bdf, bid):
+            emitted.append((bid, bdf.collect()))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_grouped_metrics(stream, "k", "v")
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        # at least two micro-batches ran, and each emitted only the
+        # keys it updated (update semantics, not a full snapshot)
+        nonempty = [rows for _, rows in emitted if rows]
+        assert len(nonempty) >= 2
+
+        last = {}
+        for _, rows in sorted(emitted):
+            for r in rows:
+                last[r["k"]] = (r["n"], r["mean"], r["stddev"])
+
+        expected = {
+            r["k"]: (r["n"], r["mean"], r["stddev"])
+            for r in (
+                spark.createDataFrame(batch1 + batch2, schema)
+                .groupBy("k")
+                .agg(
+                    F.count("v").alias("n"),
+                    F.avg("v").alias("mean"),
+                    F.stddev_pop("v").alias("stddev"),
+                )
+                .collect()
+            )
+        }
+        assert set(last) == set(expected) == {"a", "b", "c"}
+        for k in expected:
+            assert last[k][0] == expected[k][0], k
+            assert last[k][1] == pytest.approx(expected[k][1], rel=1e-12), k
+            assert last[k][2] == pytest.approx(expected[k][2], rel=1e-9), k
+
+    def test_all_null_key_emits_nothing(self, spark, tmp_path):
+        from hooqu_spark.streaming import streaming_grouped_metrics
+
+        src = str(tmp_path / "gm_null_src")
+        ckpt = str(tmp_path / "gm_null_ckpt")
+        schema = "k string, v double"
+        spark.createDataFrame(
+            [("a", 1.0), ("z", None)], schema
+        ).coalesce(1).write.parquet(src)
+
+        emitted = []
+
+        def sink(bdf, bid):
+            emitted.extend(bdf.collect())
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_grouped_metrics(stream, "k", "v")
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert {r["k"] for r in emitted} == {"a"}
+        (row,) = emitted
+        assert (row["n"], row["mean"], row["stddev"]) == (1, 1.0, 0.0)
