@@ -18,6 +18,7 @@ directory-of-batches fallback:
   new snapshot, idempotent under retries and re-listing).
 """
 
+from .bucketed import read_bucketed, write_bucketed
 from .snapshots import (
     IcebergSnapshotSource,
     ParquetBatchSource,
@@ -31,5 +32,7 @@ __all__ = [
     "ParquetBatchSource",
     "iceberg_available",
     "ingest_snapshots",
+    "read_bucketed",
     "read_pages",
+    "write_bucketed",
 ]

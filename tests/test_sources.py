@@ -185,3 +185,61 @@ class TestProtocolDispatch:
         # retrying doesn't mis-count either: b1 skipped, rb refused
         with pytest.raises(ValueError, match="re-baseline"):
             ingest_snapshots(spark, src, repo, "run1", [Size()])
+
+
+class TestBucketedTables:
+    def test_cobucketed_join_plans_without_exchange(self, spark, tmp_path):
+        """Two tables bucketed on the same key with the same bucket
+        count must equi-join with NO exchange on either side (the
+        write-time shuffle satisfies the join's distribution), and the
+        result must equal the plain shuffle join's."""
+        from hooqu_spark.sources import read_bucketed, write_bucketed
+
+        left = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(0, 1000, 3).select(
+            F.col("id").alias("k"), (F.col("id") + 7).alias("b")
+        )
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            write_bucketed(
+                left, "b_left", ["k"], 8,
+                sort_cols=["k"], path=str(tmp_path / "bl"),
+            )
+            write_bucketed(
+                right, "b_right", ["k"], 8,
+                sort_cols=["k"], path=str(tmp_path / "br"),
+            )
+            bl = read_bucketed(spark, "b_left")
+            br = read_bucketed(spark, "b_right")
+            # force the sort-merge path so the exchange-elision claim is
+            # actually exercised (broadcast would trivially avoid it)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = bl.join(br, "k")
+            p = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p
+            # Bucketed = SelectedBucketsCount shows in the scan
+            assert "Bucketed: true" in p or "SelectedBucketsCount" in p
+
+            got = sorted(tuple(r) for r in j.collect())
+            want = sorted(tuple(r) for r in left.join(right, "k").collect())
+            assert got == want
+
+            # co-located aggregation: groupBy on the bucket key needs
+            # no exchange either
+            g = bl.groupBy("k").agg(F.sum("a").alias("s"))
+            pg = g._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in pg
+            assert g.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql("DROP TABLE IF EXISTS b_left")
+            spark.sql("DROP TABLE IF EXISTS b_right")
+
+    def test_bucket_count_validation(self, spark):
+        from hooqu_spark.sources import write_bucketed
+
+        with pytest.raises(ValueError, match="n_buckets"):
+            write_bucketed(spark.range(3), "b_bad", ["id"], 0)
