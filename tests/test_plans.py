@@ -400,3 +400,23 @@ class TestNewOpsSurviveAQE:
         assert "PartitionFilters" in p
         scan_line = p[p.index("PartitionFilters"):][:200]
         assert "ivf_list" in scan_line
+
+    def test_dedup_against_broadcast_survives_aqe(self, aqe, documents):
+        from hooqu_spark.ops import dedup_against
+
+        reference = documents.select("doc_id", "text").where(
+            F.col("doc_id") % 7 == 0
+        )
+        out = dedup_against(
+            documents.select("doc_id", "text"),
+            reference,
+            ["text"],
+            broadcast_reference=True,
+        )
+        out.collect()
+        p = TestPlansSurviveAQE.final_plan(out)
+        assert "isFinalPlan=true" in p
+        # the anti join must stay a broadcast (keys-only build side),
+        # never a shuffled or cartesian plan
+        assert "BroadcastHashJoin" in p and "LeftAnti" in p
+        assert "CartesianProduct" not in p
