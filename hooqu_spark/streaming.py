@@ -285,6 +285,7 @@ def streaming_grouped_metrics(
     stream_df: DataFrame,
     key_col: str,
     value_col: str,
+    idle_timeout_ms: Optional[int] = None,
 ) -> DataFrame:
     """Exact running per-key metrics (``n``, ``mean``, ``stddev``)
     over an unbounded stream, as a CUSTOM stateful operator:
@@ -305,6 +306,13 @@ def streaming_grouped_metrics(
     length; each batch emits only the keys it updated (output mode
     ``update``).  NULL/NaN values are skipped (the analyzers' pandas
     parity); a key that has seen only NULLs emits nothing.
+
+    ``idle_timeout_ms`` bounds TOTAL state under unbounded key
+    cardinality (per-host metrics over a web crawl: hosts are
+    unbounded, hot hosts recur): a key whose state goes unrefreshed
+    for that long is evicted via a processing-time timeout, and a
+    later arrival restarts its metrics from zero.  ``None`` (default)
+    keeps every key forever — exact cumulative semantics.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -330,6 +338,9 @@ def streaming_grouped_metrics(
     )
 
     def update(key, pdfs, state):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # evicted: no data arrived within the horizon
+            return
         acc = (
             StandardDeviationState(*state.get) if state.exists else None
         )
@@ -344,6 +355,8 @@ def streaming_grouped_metrics(
         if acc is None:  # nothing numeric arrived for this key
             return
         state.update((acc.n, acc.avg, acc.m2))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             [
                 {
@@ -360,5 +373,9 @@ def streaming_grouped_metrics(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -476,3 +476,62 @@ class TestStreamingGroupedMetrics:
         assert {r["k"] for r in emitted} == {"a"}
         (row,) = emitted
         assert (row["n"], row["mean"], row["stddev"]) == (1, 1.0, 0.0)
+
+    def test_idle_timeout_evicts_state(self, spark, tmp_path):
+        """With a processing-time idle timeout, a key that stays quiet
+        for a batch is evicted and a later arrival restarts from zero —
+        total state stays bounded under unbounded key cardinality."""
+        from hooqu_spark.streaming import streaming_grouped_metrics
+
+        src = str(tmp_path / "gm_evict_src")
+        ckpt = str(tmp_path / "gm_evict_ckpt")
+        schema = "k string, v double"
+        # three single-file micro-batches: 'a' appears, idles one
+        # batch (evicting at 1ms idle), then reappears
+        for i, rows in enumerate(
+            [[("a", 1.0)], [("b", 2.0)], [("a", 5.0)]]
+        ):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        emitted = []
+
+        def sink(bdf, bid):
+            emitted.append((bid, bdf.collect()))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_grouped_metrics(stream, "k", "v", idle_timeout_ms=1)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # a pending processing-time timeout keeps the query alive past
+        # the last data batch — poll for the result and stop explicitly
+        # instead of waiting for self-termination
+        deadline = time.time() + 90
+        def a_emissions():
+            return [
+                (bid, r)
+                for bid, rows in emitted
+                for r in rows
+                if r["k"] == "a"
+            ]
+        while time.time() < deadline and len(a_emissions()) < 2:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+
+        a_rows = a_emissions()
+        assert len(a_rows) == 2
+        # second appearance restarted from a FRESH state (n=1, mean=5),
+        # proving the idle eviction removed the first triple
+        final = a_rows[-1][1]
+        assert (final["n"], final["mean"]) == (1, 5.0)
