@@ -67,6 +67,7 @@ from .text import (
     bpe_token_count_col,
     document_fingerprints,
     language_distribution,
+    mix_to_token_budget,
     quality_features,
     sample_to_token_budget,
     token_counts,
@@ -112,6 +113,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_dedup_clusters",
     "minhash_similar_pairs",
+    "mix_to_token_budget",
     "ngram_jaccard_dedup",
     "repeated_span_dedup",
     "quality_features",

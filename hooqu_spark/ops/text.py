@@ -145,6 +145,32 @@ def sample_to_token_budget(
     )
 
 
+def mix_to_token_budget(
+    df: DataFrame,
+    weights: dict,
+    total_tokens: int,
+    strata_col: str = "source",
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    order_by: str = "hash",
+) -> DataFrame:
+    """Weighted training-data mixing: allocate ``total_tokens`` across
+    strata (sources, languages, domains) proportionally to ``weights``
+    (normalized driver-side), then greedily fill each stratum's budget
+    — the "X% web, Y% code, Z% books" recipe, as one deterministic
+    window per stratum (same single-shuffle plan as
+    :func:`sample_to_token_budget`, which this delegates to)."""
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    z = float(sum(weights.values()))
+    if not z > 0:
+        raise ValueError(f"weights must sum to > 0, got {weights!r}")
+    budgets = {k: int(total_tokens * v / z) for k, v in weights.items()}
+    return sample_to_token_budget(
+        df, budgets, n_tokens_col, strata_col, id_col, order_by
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full per-doc quality feature set (single Arrow UDF pass) —
     delegates to the pipeline's enrich stage."""

@@ -325,3 +325,36 @@ class TestTokenBudgetSampling:
             ).collect()
         )
         assert a == b and len(a) == 5
+
+
+class TestWeightedMixing:
+    def test_weights_allocate_the_total_budget(self, spark):
+        from hooqu_spark.ops import mix_to_token_budget
+
+        rows = [(i, "web", 100) for i in range(40)]
+        rows += [(100 + i, "code", 100) for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        )
+        # 75/25 recipe over a 2000-token total -> 1500 web, 500 code
+        out = mix_to_token_budget(
+            df, {"web": 3, "code": 1}, 2000, order_by="id"
+        )
+        by_src = {
+            r["source"]: r["tok"]
+            for r in out.groupBy("source")
+            .agg(F.sum("n_tokens").alias("tok"))
+            .collect()
+        }
+        assert by_src == {"web": 1500, "code": 500}
+
+    def test_degenerate_inputs_raise(self, spark):
+        from hooqu_spark.ops import mix_to_token_budget
+
+        df = spark.createDataFrame(
+            [(1, "web", 10)], "doc_id long, source string, n_tokens long"
+        )
+        with pytest.raises(ValueError, match="weights"):
+            mix_to_token_budget(df, {"web": 0.0}, 100)
+        with pytest.raises(ValueError, match="total_tokens"):
+            mix_to_token_budget(df, {"web": 1.0}, -5)
