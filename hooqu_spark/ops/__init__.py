@@ -68,6 +68,7 @@ from .text import (
     document_fingerprints,
     language_distribution,
     mix_to_token_budget,
+    normalized_text_col,
     quality_features,
     sample_to_token_budget,
     token_counts,
@@ -115,6 +116,7 @@ __all__ = [
     "minhash_similar_pairs",
     "mix_to_token_budget",
     "ngram_jaccard_dedup",
+    "normalized_text_col",
     "repeated_span_dedup",
     "quality_features",
     "salted_agg",

@@ -145,6 +145,29 @@ def sample_to_token_budget(
     )
 
 
+def normalized_text_col(
+    text_col: str = "text",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punctuation: bool = False,
+) -> Column:
+    """Canonical text for DEDUP KEYS (CCNet-style normalization):
+    duplicates that differ only in case / whitespace runs /
+    punctuation hash identically after this.  Pure Catalyst (one
+    projection, stays in codegen) — feed the result to
+    :func:`document_fingerprints`, ``exact_dedup`` or the MinHash
+    pipeline as the content column.  Normalization here affects only
+    the KEY; the kept document text is untouched."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if strip_punctuation:
+        c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]+", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
 def mix_to_token_budget(
     df: DataFrame,
     weights: dict,

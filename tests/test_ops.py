@@ -1223,3 +1223,55 @@ class TestNullEmbeddingRobustness:
             ).collect()
         }
         assert 99 in out and 4 in out and 90 not in out
+
+
+class TestNormalizedText:
+    def test_normalization_modes(self, spark):
+        from hooqu_spark.ops import normalized_text_col
+
+        df = spark.createDataFrame(
+            [
+                (0, "  The QUICK   brown\tfox!  "),
+                (1, "the quick brown fox!"),
+                (2, None),
+            ],
+            "id long, text string",
+        )
+        full = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id",
+                normalized_text_col(
+                    "text", strip_punctuation=True
+                ).alias("n"),
+            ).collect()
+        }
+        assert full[0] == full[1] == "the quick brown fox"
+        assert full[2] is None
+        # default keeps punctuation
+        dflt = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", normalized_text_col("text").alias("n")
+            ).collect()
+        }
+        assert dflt[0] == dflt[1] == "the quick brown fox!"
+        # case-sensitive mode distinguishes the two
+        cs = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", normalized_text_col("text", lowercase=False).alias("n")
+            ).collect()
+        }
+        assert cs[0] != cs[1]
+
+    def test_feeds_exact_dedup(self, spark):
+        from hooqu_spark.ops import exact_dedup, normalized_text_col
+
+        df = spark.createDataFrame(
+            [(0, "Hello  World"), (1, "hello world"), (2, "bye")],
+            "id long, text string",
+        )
+        keyed = df.withColumn("_k", normalized_text_col("text"))
+        ids = {r["id"] for r in exact_dedup(keyed, ["_k"], "id").collect()}
+        assert ids == {0, 2}
