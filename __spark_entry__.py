@@ -170,15 +170,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # FUSED (round 5): whitespace count + the BPE-ish regex count
-        # (ops.text.bpe_token_count_col) grade in one scan.
+        # (ops.text.bpe_token_count_col) + dedup-key text normalization
+        # (ops.text.normalized_text_col) grade in one scan.  The
+        # corpus itself is already lowercase single-spaced, so the
+        # normalization is exercised on a DERIVED messy column (upper
+        # case + injected whitespace runs, built identically in the
+        # oracle) — otherwise the contract would grade a no-op.
         from hooqu_spark.ops import token_counts
-        from hooqu_spark.ops.text import bpe_token_count_col
+        from hooqu_spark.ops.text import (
+            bpe_token_count_col,
+            normalized_text_col,
+        )
 
         df = _t(spark, sf_dir, "documents")
-        return token_counts(df).select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            bpe_token_count_col("text").cast("long").alias("n_bpe_tokens"),
+        messy = F.concat(
+            F.lit("  "),
+            F.upper(F.substring("text", 1, 40)),
+            F.lit(" \t\n "),
+            F.col("lang"),
+            F.lit("  "),
+        )
+        return (
+            token_counts(df)
+            .withColumn("_messy", messy)
+            .select(
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                bpe_token_count_col("text").cast("long").alias(
+                    "n_bpe_tokens"
+                ),
+                normalized_text_col("_messy").alias("norm_text"),
+            )
         )
 
     def lang_distribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,12 +1325,22 @@ def oracle_sql() -> dict[str, str]:
         "token_count_documents": (
             # n_bpe_tokens replays ops.text.BPE_TOKEN_PATTERN (Java
             # regex and RE2 agree: leftmost-first alternation, Unicode
-            # \p{L}/\p{N}, no lookaheads) — SQL-quoted via doubled '.
+            # \p{L}/\p{N}, explicit [ \t\n\x0B\f\r] whitespace class —
+            # the engines' \s differ on \x0B — no lookaheads) —
+            # SQL-quoted via doubled '.
             "SELECT doc_id, len(list_filter(string_split(text, ' '),"
             " x -> x <> '')) AS n_tokens,"
             " len(regexp_extract_all(text, '"
             + _BPE_PATTERN_SQL
-            + "')) AS n_bpe_tokens FROM documents"
+            + "')) AS n_bpe_tokens,"
+            # normalized_text_col replay on the same derived messy
+            # column: lower -> collapse ASCII whitespace (the explicit
+            # class == Java's \s) -> trim spaces
+            " trim(regexp_replace(lower("
+            "'  ' || upper(substr(text, 1, 40)) || ' ' || chr(9) ||"
+            " chr(10) || ' ' || lang || '  '"
+            "), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm_text"
+            " FROM documents"
         ),
         "language_distribution_documents": (
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"

@@ -559,7 +559,14 @@ def main() -> None:
             from hooqu_spark.pipeline.synth import make_docs_pdf
 
             path = f"/tmp/hooqu_bench_dedup_{n_docs}"
-            if os.path.isdir(path):
+            # trust a cached corpus only if the writing job committed
+            # (_SUCCESS marker) — a run killed mid-write leaves a
+            # partial directory that would silently corrupt the
+            # scaling evidence (docs/sec computed against n_docs but
+            # measured over fewer rows)
+            if os.path.isdir(path) and os.path.exists(
+                os.path.join(path, "_SUCCESS")
+            ):
                 return path
 
             def gen(batches):

@@ -249,6 +249,13 @@ def _train_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        # same contract as _train_centroids_distributed — without the
+        # guard the empty ndarray (ndim 1) crashes norm(axis=1) with an
+        # opaque AxisError
+        raise ValueError(
+            "cannot train centroids: the input has no non-NULL vectors"
+        )
     mat = np.asarray([r[1] for r in sample], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -701,6 +708,11 @@ def semantic_duplicate_pairs(
     (``semantic_dedup``'s centroid_far policy needs it again for the
     survivor scoring) pass it in instead of retraining."""
     df = df.where(F.col(vec_col).isNotNull())
+    # no non-NULL vectors: nothing to cluster or pair — fall through
+    # the single-block branch (valid empty result with the pair
+    # schema) instead of crashing centroid training on an empty sample
+    if n_clusters > 1 and centroids is None and df.select(vec_col).first() is None:
+        n_clusters = 1
     if n_clusters <= 1:
         assigned = df.select(
             F.col(id_col), F.col(vec_col), F.lit(0).alias("_sem_list")
@@ -784,14 +796,17 @@ def semantic_dedup(
         )
     # centroid_far needs the trained model twice (blocking + survivor
     # scoring) — train ONCE here and thread it through
-    centroids = (
-        _train_sem_centroids(
-            df.where(F.col(vec_col).isNotNull()), vec_col, id_col,
+    if keep == "centroid_far":
+        non_null = df.where(F.col(vec_col).isNotNull())
+        if non_null.select(vec_col).first() is None:
+            # no non-NULL embeddings -> no pairs -> every row survives
+            return df
+        centroids = _train_sem_centroids(
+            non_null, vec_col, id_col,
             n_clusters, sample_size, n_iters, seed, distributed_training,
         )
-        if keep == "centroid_far"
-        else None
-    )
+    else:
+        centroids = None
     pairs = semantic_duplicate_pairs(
         df, id_col, vec_col, n_clusters, threshold, round_to,
         sample_size, n_iters, seed, distributed_training, centroids,

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 _SALT = "_hooqu_salt"
 
 
-def _salt_col(df: DataFrame, n_salts: int) -> Column:
+def _salt_col(n_salts: int) -> Column:
     """Deterministic per-row salt in [0, n_salts):
     ``xxhash64(monotonically_increasing_id)`` — partition id + row
     offset.  Row position alone is what splits hot keys (including
@@ -63,7 +63,7 @@ def salted_agg(
     module exists for.
     """
     keys = list(keys)
-    salt = _salt_col(df, n_salts)
+    salt = _salt_col(n_salts)
     phase1 = (
         df.withColumn(_SALT, salt)
         .groupBy(*keys, _SALT)

@@ -47,11 +47,18 @@ from pyspark.sql import functions as F
 # One or more "<number> <unit>" terms, e.g. "2 hours", "1 day 12 hours".
 # Validated at the API boundary so a malformed caller string fails with
 # a clear ValueError instead of surfacing as a Catalyst parse error (or,
-# worse, silently concatenating into the INTERVAL literal).
-_INTERVAL_RE = re.compile(
-    r"^\s*(?:\d+(?:\.\d+)?\s+"
+# worse, silently concatenating into the INTERVAL literal).  Fractions
+# are allowed ONLY on seconds — Spark's INTERVAL parser rejects them on
+# every other unit (INVALID_INTERVAL_FORMAT.INVALID_FRACTION), so
+# accepting "1.5 hours" here would re-surface the Catalyst error this
+# validator exists to prevent.
+_INTERVAL_TERM = (
+    r"(?:\d+\s+"
     r"(?:microsecond|millisecond|second|minute|hour|day|week|month|year)s?"
-    r"\s*)+$",
+    r"|\d+\.\d+\s+seconds?)"
+)
+_INTERVAL_RE = re.compile(
+    rf"^\s*{_INTERVAL_TERM}(?:\s+{_INTERVAL_TERM})*\s*$",
     re.IGNORECASE,
 )
 

@@ -32,10 +32,15 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 # (which RE2 cannot run — keeping the pattern engine-portable) and the
 # pure-whitespace tokens (which a BPE vocab absorbs into the following
 # word's leading-space variant anyway).  Alternation is leftmost-first
-# in BOTH Java regex and RE2's PCRE mode, and every class used
-# (\p{L}, \p{N}, \s) is Unicode in both engines, so the match
-# sequence — hence the count — is identical across Spark and DuckDB.
-BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|re|ve)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# in BOTH Java regex and RE2's PCRE mode, and \p{L}/\p{N} are Unicode
+# in both engines.  Whitespace is spelled as the EXPLICIT class
+# [ \t\n\x0B\f\r] (== Java's ASCII \s) rather than \s, because the two
+# engines' \s disagree on vertical tab (Java includes \x0B, RE2
+# doesn't) — with the explicit class the match sequence, hence the
+# count, is identical across Spark and DuckDB.
+BPE_TOKEN_PATTERN = (
+    r"'(?:[sdmt]|ll|re|ve)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
+)
 
 
 def bpe_token_count_col(text_col: str = "text") -> Column:
@@ -185,6 +190,10 @@ def mix_to_token_budget(
     :func:`sample_to_token_budget`, which this delegates to)."""
     if total_tokens < 0:
         raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    if any(v < 0 for v in weights.values()):
+        # a negative weight would pass the sum check and silently
+        # over-allocate the positive strata past total_tokens
+        raise ValueError(f"weights must each be >= 0, got {weights!r}")
     z = float(sum(weights.values()))
     if not z > 0:
         raise ValueError(f"weights must sum to > 0, got {weights!r}")

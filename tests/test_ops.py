@@ -468,6 +468,10 @@ class TestText:
             "it's we'll they're I've 2024",
             "café über … naïve's 'quoted'",
             "a\tb\nc  d",
+            # vertical tab: Java \s includes \x0B, RE2's doesn't — the
+            # explicit whitespace class in the pattern keeps the two
+            # engines agreeing here
+            "a\x0bb c",
         ]
         df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "id long, text string"
@@ -1119,6 +1123,31 @@ class TestSemanticDedup:
             semantic_dedup(semvecs, keep="random")
         with pytest.raises(ValueError, match="centroid_far"):
             semantic_dedup(semvecs, n_clusters=1, keep="centroid_far")
+
+    def test_all_null_embeddings_survive_not_crash(self, spark):
+        # zero non-NULL vectors: centroid training has no sample — the
+        # op must return every row (NULL rows never pair) instead of
+        # crashing numpy with an AxisError at the default n_clusters
+        from hooqu_spark.ops import semantic_dedup, semantic_duplicate_pairs
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "vec_id long, embedding array<double>"
+        )
+        for keep in ("min_id", "centroid_far"):
+            got = {r.vec_id for r in semantic_dedup(df, keep=keep).collect()}
+            assert got == {1, 2}, keep
+        pairs = semantic_duplicate_pairs(df)
+        assert pairs.count() == 0
+        assert pairs.columns == ["id_a", "id_b", "cosine"]
+
+    def test_empty_centroid_training_raises_clear_error(self, spark):
+        from hooqu_spark.ops.similarity import _train_centroids
+
+        df = spark.createDataFrame(
+            [(1, None)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="no non-NULL vectors"):
+            _train_centroids(df, "embedding", "vec_id", 4)
 
     def test_pairs_round_and_threshold(self, semvecs):
         from hooqu_spark.ops import semantic_duplicate_pairs

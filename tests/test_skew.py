@@ -168,7 +168,7 @@ class TestSaltedAgg:
 
         n_groups = (
             skewed.where(F.col("host") == "hot.example")
-            .select(_salt_col(skewed, 8).alias(_SALT))
+            .select(_salt_col(8).alias(_SALT))
             .distinct()
             .count()
         )
@@ -180,7 +180,7 @@ class TestSaltedAgg:
         # derive a salt is wasted CPU at 100 TB scale
         from hooqu_spark.ops.skew import _salt_col
 
-        expr = _salt_col(skewed, 8)._jc.toString()
+        expr = _salt_col(8)._jc.toString()
         for c in skewed.columns:
             assert c not in expr
         assert "monotonically_increasing_id" in expr
@@ -206,7 +206,7 @@ class TestSaltedAgg:
             [("hot",)] * 1000, "host string"
         ).repartition(4)
         n_salts = (
-            dup.select(_salt_col(dup, 16).alias(_SALT))
+            dup.select(_salt_col(16).alias(_SALT))
             .distinct()
             .count()
         )
@@ -358,3 +358,7 @@ class TestWeightedMixing:
             mix_to_token_budget(df, {"web": 0.0}, 100)
         with pytest.raises(ValueError, match="total_tokens"):
             mix_to_token_budget(df, {"web": 1.0}, -5)
+        # a negative weight passes the sum>0 check but would silently
+        # allocate the positive stratum MORE than total_tokens
+        with pytest.raises(ValueError, match="weights"):
+            mix_to_token_budget(df, {"web": 2.0, "code": -1.0}, 1000)

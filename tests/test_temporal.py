@@ -112,7 +112,12 @@ class TestAsofJoin:
 
         left, right, _, _ = frames
         for bad in ("2 fortnights", "hours 2", "2h", "", "2 hours; DROP",
-                    "2 hours OR 1=1", 7):
+                    "2 hours OR 1=1", 7,
+                    # Spark's INTERVAL parser rejects fractions on any
+                    # unit but seconds (INVALID_FRACTION) — the
+                    # validator must too, or the Catalyst error it
+                    # exists to prevent resurfaces
+                    "1.5 hours", "0.5 days", "2 hours 1.5 minutes"):
             with pytest.raises(ValueError):
                 asof_join(left, right, ["k"], tolerance=bad)
 
@@ -120,6 +125,9 @@ class TestAsofJoin:
         left, right, _, _ = frames
         # valid grammar incl. multi-term intervals parses and runs
         asof_join(left, right, ["k"], tolerance="1 day 30 minutes").collect()
+        # fractional SECONDS are the one fraction Spark accepts
+        asof_join(left, right, ["k"], tolerance="1.5 seconds").collect()
+        asof_join(left, right, ["k"], tolerance="1 minute 1.5 seconds").collect()
 
     def test_plan_is_one_shuffle_no_join_node(self, frames):
         left, right, _, _ = frames
